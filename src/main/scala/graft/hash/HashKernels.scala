@@ -1,0 +1,245 @@
+package graft.hash
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic hashing kernels (SURVEY §2.2 P5, §2.3 A6, §2.4 H1).
+ *
+ * All randomness is counter-based (splitmix64 streams keyed by the
+ * hashed input), so signatures are bit-reproducible across runs,
+ * partitionings and resumes — no per-partition RNG state. This is what
+ * makes checkpoint/resume and recall fixtures deterministic.
+ */
+object HashKernels {
+
+  // ---------------------------------------------------------------- murmur3
+
+  /**
+   * Canonical MurmurHash3 x86_32, seed 0, over UTF-8 bytes — byte-compatible
+   * with the reference's `murmur3.Sum32(word)` feature hash
+   * (`/root/reference/vectorisers.go:261`). Spark's builtin `hash()` is
+   * seed-42 with a different tail mix, so it is NOT usable here.
+   * Implemented from the public MurmurHash3 spec (Appleby, public domain).
+   */
+  def murmur3_32(bytes: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51
+    val c2 = 0x1b873593
+    var h = 0 // seed
+    val len = bytes.length
+    val nblocks = len / 4
+    var i = 0
+    while (i < nblocks) {
+      val base = i * 4
+      var k = (bytes(base) & 0xff) | ((bytes(base + 1) & 0xff) << 8) |
+        ((bytes(base + 2) & 0xff) << 16) | ((bytes(base + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 1
+    }
+    var k1 = 0
+    val tail = nblocks * 4
+    (len & 3) match {
+      case 3 =>
+        k1 ^= (bytes(tail + 2) & 0xff) << 16
+        k1 ^= (bytes(tail + 1) & 0xff) << 8
+        k1 ^= bytes(tail) & 0xff
+        k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1
+      case 2 =>
+        k1 ^= (bytes(tail + 1) & 0xff) << 8
+        k1 ^= bytes(tail) & 0xff
+        k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1
+      case 1 =>
+        k1 ^= bytes(tail) & 0xff
+        k1 *= c1; k1 = Integer.rotateLeft(k1, 15); k1 *= c2; h ^= k1
+      case _ =>
+    }
+    h ^= len
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35; h ^= h >>> 16
+    h
+  }
+
+  /** Unsigned murmur3_32 as a Long in [0, 2^32) — the reference computes
+    * `int(h) % NumFeatures` on a uint32, i.e. an unsigned mod. */
+  def murmur3Unsigned(s: UTF8String): Long = murmur3_32(s.getBytes) & 0xffffffffL
+
+  // ------------------------------------------------------------- splitmix64
+
+  /** splitmix64 finalizer (Steele et al., public domain) — our
+    * counter-based PRNG building block. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /**
+   * k-permutation MinHash signature over a 64-bit shingle array
+   * (Broder '97; north-rule addition — banding semantics shared with the
+   * reference's LSH chunking, `/root/reference/lsh.go:120-132`).
+   * Permutation i is the splitmix64 mix of the shingle xored with a
+   * per-permutation seed; the signature element is the minimum over all
+   * shingles. Empty input yields the seeds themselves (a fixed,
+   * non-matching signature).
+   */
+  def minhash(shingles: Array[Long], k: Int): Array[Long] = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val seed = mix64(0x5eed0000L + i)
+      var mn = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = mix64(shingles(j) ^ seed)
+        if (h < mn) mn = h
+        j += 1
+      }
+      out(i) = if (shingles.length == 0) seed else mn
+      i += 1
+    }
+    out
+  }
+
+  /** ArrayData adapter for codegen. */
+  def minhashArray(shingles: ArrayData, k: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhash(shingles.toLongArray(), k))
+
+  /** Estimated Jaccard from two equal-length signatures. */
+  def minhashSim(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0; var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  // -------------------------------------------------------------- winnowing
+
+  /**
+   * Winnowed char-k-gram fingerprints (Schleimer et al. '03, MOSS).
+   * Rolling polynomial hash of every k-gram; keep the minimum of each
+   * sliding window of `window` consecutive hashes (rightmost min,
+   * deduped). Guarantee: two strings sharing a verbatim run of length
+   * ≥ k + window − 1 share at least one selected fingerprint — the
+   * anchor that lets the suffix-array substring pass run as a
+   * shuffle-join instead of an all-pairs scan.
+   */
+  def winnowedFingerprints(s: UTF8String, k: Int, window: Int): Array[Long] = {
+    val str = s.toString
+    val n = str.length
+    if (n < k) return Array(mix64(str.hashCode.toLong))
+    val nGrams = n - k + 1
+    val hs = new Array[Long](nGrams)
+    val B = 1000000007L
+    // initial k-gram hash + precompute B^(k-1)
+    var h = 0L
+    var pow = 1L
+    var i = 0
+    while (i < k) {
+      h = h * B + str.charAt(i)
+      if (i < k - 1) pow *= B
+      i += 1
+    }
+    hs(0) = mix64(h)
+    i = 1
+    while (i < nGrams) {
+      h = (h - str.charAt(i - 1) * pow) * B + str.charAt(i + k - 1)
+      hs(i) = mix64(h)
+      i += 1
+    }
+    if (nGrams <= window) {
+      var mn = hs(0); i = 1
+      while (i < nGrams) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return Array(mn)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nGrams / window + 2)
+    var lastIdx = -1
+    i = 0
+    while (i + window <= nGrams) {
+      var mn = hs(i); var mi = i
+      var j = i + 1
+      while (j < i + window) {
+        if (hs(j) <= mn) { mn = hs(j); mi = j } // rightmost min
+        j += 1
+      }
+      if (mi != lastIdx) { out += mn; lastIdx = mi }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** ArrayData adapter for codegen. */
+  def winnowArray(s: UTF8String, k: Int, window: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(winnowedFingerprints(s, k, window))
+
+  // ---------------------------------------------------------------- simhash
+
+  /**
+   * SimHash by signed random projection (`/root/reference/hashing.go:32-62`,
+   * `randomprojection.go:56-87`): bit b = 1 iff Σ_t w_t · g(t,b) >= 0 where
+   * g(t,b) is a unit Gaussian derived deterministically from the term id and
+   * bit index (Box–Muller over a splitmix64 stream seeded by the term).
+   * Same distribution as the reference's `rand.NormFloat64` hyperplane
+   * matrix (`hashing.go:36-42`) but O(1) memory at any dimensionality —
+   * no d×bits matrix is ever materialised, so the hashing-trick feature
+   * space (2^20+ dims) costs nothing.
+   *
+   * Returns `ceil(bits/64)` packed words, little-endian bit order
+   * (bit b of word b/64).
+   */
+  def simhash(termIds: Array[Long], weights: Array[Double], bits: Int): Array[Long] = {
+    val acc = new Array[Double](bits)
+    val twoPi = 2.0 * math.Pi
+    var t = 0
+    while (t < termIds.length) {
+      val w = weights(t)
+      if (w != 0.0) {
+        val seed = mix64(termIds(t) ^ 0x51a45ea51a45ea5L)
+        var b = 0
+        var ctr = 0L
+        while (b < bits) {
+          // two uniforms from the counter stream -> two Gaussians (Box–Muller)
+          val u1 = (mix64(seed + ctr) >>> 11) * 1.1102230246251565e-16 // 2^-53
+          val u2 = (mix64(seed + ctr + 1) >>> 11) * 1.1102230246251565e-16
+          ctr += 2
+          val r = math.sqrt(-2.0 * math.log(u1 + 1.1102230246251565e-16))
+          val theta = twoPi * u2
+          acc(b) += w * (r * math.cos(theta))
+          if (b + 1 < bits) acc(b + 1) += w * (r * math.sin(theta))
+          b += 2
+        }
+      }
+      t += 1
+    }
+    pack(acc)
+  }
+
+  /** 64-bit SimHash of a sparse (termId, weight) document vector. */
+  def simhash64(termIds: Array[Long], weights: Array[Double]): Long =
+    simhash(termIds, weights, 64)(0)
+
+  /** Fraction of equal bit positions between two packed signatures
+    * (`/root/reference/comparisons.go:70-92` Hamming similarity). */
+  def hammingSim(a: Array[Long], b: Array[Long], bits: Int): Double = {
+    var diff = 0; var i = 0
+    while (i < a.length) { diff += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    1.0 - diff.toDouble / bits
+  }
+
+  private def pack(acc: Array[Double]): Array[Long] = {
+    val words = new Array[Long]((acc.length + 63) / 64)
+    var b = 0
+    while (b < acc.length) {
+      if (acc(b) >= 0.0) words(b / 64) |= (1L << (b % 64))
+      b += 1
+    }
+    words
+  }
+}

@@ -1,0 +1,159 @@
+package graft.substr
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Suffix-array substring pass (SURVEY §2.4 H10; north-rule addition,
+ * Manber–Myers '90). Catches long verbatim substring duplicates that
+ * signature methods miss (a 200-char quote inside two otherwise
+ * unrelated pages moves Jaccard very little).
+ *
+ * Distribution strategy (the 100 TB shape): a per-row winnowed
+ * rolling-hash fingerprint pass (Schleimer et al. '03) guarantees that
+ * any two docs sharing a verbatim run ≥ k+window−1 chars share ≥1
+ * fingerprint; the fingerprint shuffle-join (the same distributed
+ * hash-table pattern as LSH banding, with the same hot-bucket capping)
+ * yields candidate pairs, and each pair is verified exactly with a
+ * generalised suffix array + Kasai LCP over the two texts. No
+ * all-pairs scan, no cross-partition blindness: co-location is by
+ * *content anchor*, not by sort order. Candidate volume ≈ docs sharing
+ * boilerplate runs, bounded by the bucket cap.
+ */
+object SuffixArrayStage {
+
+  /** Build suffix array over `s` by prefix doubling. Returns sa. */
+  def suffixArray(s: Array[Int]): Array[Int] = {
+    val n = s.length
+    val sa = Array.tabulate(n)(identity)
+    var rank = s.clone()
+    var tmp = new Array[Int](n)
+    var k = 1
+    val ord = new Ordering[Int] {
+      var kk = 1
+      def compare(a: Int, b: Int): Int = {
+        if (rank(a) != rank(b)) return Integer.compare(rank(a), rank(b))
+        val ra = if (a + kk < n) rank(a + kk) else -1
+        val rb = if (b + kk < n) rank(b + kk) else -1
+        Integer.compare(ra, rb)
+      }
+    }
+    while (k < n) {
+      ord.kk = k
+      scala.util.Sorting.stableSort(sa, (a: Int, b: Int) => ord.compare(a, b) < 0)
+      tmp(sa(0)) = 0
+      var i = 1
+      while (i < n) {
+        tmp(sa(i)) = tmp(sa(i - 1)) + (if (ord.compare(sa(i - 1), sa(i)) < 0) 1 else 0)
+        i += 1
+      }
+      val t = rank; rank = tmp; tmp = t
+      if (rank(sa(n - 1)) == n - 1) k = n // all distinct: done
+      else k <<= 1
+    }
+    sa
+  }
+
+  /** Kasai LCP: lcp(i) = common prefix length of sa(i) and sa(i-1). */
+  def kasaiLcp(s: Array[Int], sa: Array[Int]): Array[Int] = {
+    val n = s.length
+    val rank = new Array[Int](n)
+    var i = 0
+    while (i < n) { rank(sa(i)) = i; i += 1 }
+    val lcp = new Array[Int](n)
+    var h = 0
+    i = 0
+    while (i < n) {
+      if (rank(i) > 0) {
+        val j = sa(rank(i) - 1)
+        while (i + h < n && j + h < n && s(i + h) == s(j + h)) h += 1
+        lcp(rank(i)) = h
+        if (h > 0) h -= 1
+      } else h = 0
+      i += 1
+    }
+    lcp
+  }
+
+  /** Find distinct-doc pairs sharing a verbatim run ≥ minRun within one
+    * batch of (docId, text). Emits adjacent pairs inside maximal LCP
+    * runs; transitivity is closed downstream by connected components. */
+  def pairsInBatch(batch: Seq[(Long, String)], minRun: Int): Iterator[(Long, Long)] = {
+    if (batch.size < 2) return Iterator.empty
+    // concatenate with unique negative sentinels between docs
+    val totalLen = batch.map(_._2.length).sum + batch.size
+    val s = new Array[Int](totalLen)
+    val docOf = new Array[Int](totalLen)
+    var pos = 0
+    var d = 0
+    batch.foreach { case (_, text) =>
+      var i = 0
+      while (i < text.length) {
+        s(pos) = text.charAt(i).toInt + batch.size + 1 // shift above sentinels
+        docOf(pos) = d
+        pos += 1; i += 1
+      }
+      s(pos) = d + 1 // unique sentinel per doc, > 0, < shift
+      docOf(pos) = d
+      pos += 1; d += 1
+    }
+    val sa = suffixArray(s)
+    val lcp = kasaiLcp(s, sa)
+    val out = ArrayBuffer.empty[(Long, Long)]
+    var i = 1
+    while (i < sa.length) {
+      if (lcp(i) >= minRun) {
+        val da = docOf(sa(i - 1)); val db = docOf(sa(i))
+        if (da != db) {
+          val ia = batch(da)._1; val ib = batch(db)._1
+          out += ((math.min(ia, ib), math.max(ia, ib)))
+        }
+      }
+      i += 1
+    }
+    out.distinct.iterator
+  }
+
+  /** Exact longest-common-run check for one candidate pair, via the
+    * generalised suffix array over the two texts. */
+  def hasCommonRun(a: String, b: String, minRun: Int): Boolean =
+    pairsInBatch(Seq((0L, a), (1L, b)), minRun).nonEmpty
+
+  /**
+   * Distributed substring-duplicate edges (winnow → anchor join →
+   * SA verify). The anchor parameters are derived from `minRun`:
+   * k-gram length k = minRun/2, window = minRun − k + 1, so any shared
+   * run ≥ minRun chars is guaranteed to share a fingerprint.
+   *
+   * @param docs   df with (docId: Long, text: String) — normalised text
+   * @param minRun minimum verbatim run length in chars
+   */
+  def substringEdges(docs: DataFrame, docIdCol: String, textCol: String,
+                     minRun: Int, maxBucket: Int = 64,
+                     chainWidth: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k = math.max(8, minRun / 2)
+    val window = math.max(1, minRun - k + 1)
+
+    val base = docs.select(col(docIdCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"))
+    // anchor buckets: same distributed-hash-table shape as LSH banding
+    val buckets = base.select(col("doc_id"), explode(
+        graft.hash.HashFunctions.winnow(col("__text"), k, window)).as("key"))
+      .withColumn("band", lit(2000))
+    val cands = graft.lsh.Lsh.candidatePairs(
+      buckets.select("doc_id", "band", "key"), "doc_id", maxBucket, chainWidth)
+
+    // exact SA verification per candidate pair
+    val ta = base.toDF("a", "ta")
+    val tb = base.toDF("b", "tb")
+    cands.join(ta, "a").join(tb, "b")
+      .select($"a", $"b", $"ta", $"tb").as[(Long, Long, String, String)]
+      .flatMap { case (a, b, sa, sb) =>
+        if (hasCommonRun(sa, sb, minRun)) Iterator((a, b)) else Iterator.empty
+      }
+      .toDF("a", "b").distinct()
+  }
+}

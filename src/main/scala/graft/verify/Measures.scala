@@ -1,0 +1,83 @@
+package graft.verify
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Distance / similarity measures (SURVEY §2.5), as codegen'd Catalyst
+ * builtin compositions. References:
+ * `/root/reference/measures/pairwise/comparisons.go`.
+ */
+object Measures {
+
+  /** Exact Jaccard over shingle/element sets (north-rule verify). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Hamming distance fraction over 64-bit signatures
+    * (`comparisons.go:70-85`): popcount of xor, bit-packed fast path. */
+  def hammingDist64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("double") / 64.0
+
+  /** `comparisons.go:90-92`. */
+  def hammingSim64(a: Column, b: Column): Column =
+    lit(1.0) - hammingDist64(a, b)
+
+  /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
+  def minhashSim(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+      .cast("double") / size(a)
+
+  /** Dot product of two dense double arrays (ordered left fold —
+    * deterministic summation order for oracle parity). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of a dense double array. */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Cosine similarity of dense double arrays
+    * (`comparisons.go:17-29`; NaN when either norm is 0, as reference). */
+  def cosineDense(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine over sorted sparse entry arrays Struct(term, weight):
+    * dot via map lookup on the smaller operand. */
+  def cosineSparse(a: Column, b: Column): Column = {
+    val bMap = map_from_entries(b)
+    val d = aggregate(
+      transform(a, e => e.getField("weight") *
+        coalesce(element_at(bMap, e.getField("term")), lit(0.0))),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a,
+      e => e.getField("weight") * e.getField("weight")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b,
+      e => e.getField("weight") * e.getField("weight")),
+      lit(0.0), (acc, v) => acc + v))
+    d / (na * nb)
+  }
+
+  /** CosineDistance = 1 − cos (`comparisons.go:39-41`). */
+  def cosineDistDense(a: Column, b: Column): Column = lit(1.0) - cosineDense(a, b)
+
+  /** AngularDistance (`comparisons.go:49-56`). */
+  def angularDist(a: Column, b: Column): Column =
+    acos(least(cosineDense(a, b), lit(1.0))) / math.Pi
+
+  /** AngularSimilarity (`comparisons.go:60-62`). */
+  def angularSim(a: Column, b: Column): Column = lit(1.0) - angularDist(a, b)
+
+  /** EuclideanDistance (`comparisons.go:97-101`). */
+  def euclidean(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** ManhattanDistance (`comparisons.go:105-109`). */
+  def manhattan(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** VectorLenSimilarity = sqrt(dot) (`comparisons.go:112-118`). */
+  def vectorLenSim(a: Column, b: Column): Column = sqrt(dot(a, b))
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hash.{HashFunctions, HashKernels}
+import graft.text.TextKernel
+import graft.tfidf.TfIdf
+import org.apache.spark.unsafe.types.UTF8String
+
+class HashKernelsSpec extends AnyFunSuite with SparkSpec {
+  import SparkSpec._
+
+  test("murmur3_32 seed 0 matches canonical test vectors (vectorisers.go:261)") {
+    def h(s: String): Long =
+      HashKernels.murmur3Unsigned(UTF8String.fromString(s))
+    // cross-checked against the public murmurhash3 x86_32 spec
+    assert(h("hello") === 613153351L) // 0x248BFA47, well-known vector
+    assert(h("dog") === 2982218203L)
+    assert(h("the") === 3162218338L)
+    assert(h("a") === 1009084850L)
+    assert(h("laughing") === 3438793594L)
+    assert(h("спутник") === 3631544734L) // multi-byte utf-8 + tail path
+    assert(h("") === 0L)
+  }
+
+  test("hashed TF NNZ matches reference goldens 33/11/21 (vectorisers_test.go:95-98)") {
+    import spark.implicits._
+    def nnz(docs: Seq[String], features: Int, stop: Seq[String]): Long =
+      docs.toDF("text")
+        .select(TfIdf.hashedTfEntries(
+          TextKernel.dropStopWords(TextKernel.tokenize($"text"), stop),
+          features).as("e"))
+        .agg(sum(size($"e"))).as[Long].head()
+    assert(nnz(testSet, 260000, Nil) === 33L)
+    assert(nnz(testSet.take(3), 260000, Nil) === 11L)
+    assert(nnz(testSet, 260000, stopWords) === 21L)
+  }
+
+  test("minhash estimates Jaccard (property, 128 perms)") {
+    val rnd = new scala.util.Random(42)
+    var totalErr = 0.0
+    val trials = 50
+    (0 until trials).foreach { t =>
+      val base = Array.fill(200)(rnd.nextLong())
+      val keep = 0.3 + 0.6 * rnd.nextDouble()
+      val bSet = base.filter(_ => rnd.nextDouble() < keep) ++
+        Array.fill(30)(rnd.nextLong())
+      val aSet = base
+      val inter = aSet.toSet.intersect(bSet.toSet).size.toDouble
+      val union = aSet.toSet.union(bSet.toSet).size.toDouble
+      val exact = inter / union
+      val est = HashKernels.minhashSim(
+        HashKernels.minhash(aSet, 128), HashKernels.minhash(bSet, 128))
+      totalErr += math.abs(est - exact)
+      assert(math.abs(est - exact) < 0.2, s"trial $t: est $est vs exact $exact")
+    }
+    assert(totalErr / trials < 0.05, s"avg err ${totalErr / trials}")
+  }
+
+  test("minhash identical sets -> identical signatures; disjoint -> low sim") {
+    val a = Array(1L, 2L, 3L, 4L, 5L)
+    assert(HashKernels.minhashSim(
+      HashKernels.minhash(a, 128), HashKernels.minhash(a.reverse, 128)) === 1.0)
+    val b = Array(100L, 200L, 300L, 400L, 500L)
+    assert(HashKernels.minhashSim(
+      HashKernels.minhash(a, 128), HashKernels.minhash(b, 128)) < 0.1)
+  }
+
+  test("simhash: hamming sim tracks angular sim within 0.03 @1024 bits " +
+    "(randomprojection_test.go:54,72-74)") {
+    val rnd = new scala.util.Random(0)
+    val dim = 100
+    val bits = 1024
+    val nPairs = 60
+    var total = 0.0
+    (0 until nPairs).foreach { _ =>
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      // correlated partner: mix of a and noise
+      val mixW = rnd.nextDouble()
+      val b = a.map(x => mixW * x + (1 - mixW) * rnd.nextGaussian())
+      val ids = Array.tabulate(dim)(_.toLong)
+      val sa = HashKernels.simhash(ids, a, bits)
+      val sb = HashKernels.simhash(ids, b, bits)
+      val ham = HashKernels.hammingSim(sa, sb, bits)
+      val cos = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(a.map(x => x * x).sum)
+        val nb = math.sqrt(b.map(x => x * x).sum)
+        dot / (na * nb)
+      }
+      val ang = 1.0 - math.acos(math.min(cos, 1.0)) / math.Pi
+      total += math.abs(ham - ang)
+    }
+    assert(total / nPairs < 0.03, s"avg |ham-ang| = ${total / nPairs}")
+  }
+
+  test("simhash self-similarity is exact (randomprojection_test.go:72-74)") {
+    val rnd = new scala.util.Random(7)
+    val a = Array.fill(50)(rnd.nextGaussian())
+    val ids = Array.tabulate(50)(_.toLong)
+    val s1 = HashKernels.simhash(ids, a, 1024)
+    val s2 = HashKernels.simhash(ids, a, 1024)
+    assert(HashKernels.hammingSim(s1, s2, 1024) === 1.0)
+  }
+
+  test("expressions evaluate inside a DataFrame plan (codegen path)") {
+    import spark.implicits._
+    val df = Seq(("hello", Seq(1L, 2L, 3L))).toDF("w", "sh")
+      .withColumn("m", HashFunctions.murmur3go($"w"))
+      .withColumn("sig", HashFunctions.minhash128($"sh"))
+      .withColumn("tf", TfIdf.hashedTfEntries(array($"w"), 1 << 18))
+    val row = df.select($"m", size($"sig"),
+      HashFunctions.simhash64(transform($"tf",
+        e => struct(e.getField("term").as("term"),
+          e.getField("cnt").cast("double").as("weight"))))).head()
+    assert(row.getLong(0) === 613153351L)
+    assert(row.getInt(1) === 128)
+    // simhash of a 1-term doc is deterministic
+    assert(row.getLong(2) === {
+      val tid = 613153351L % (1 << 18)
+      HashKernels.simhash64(Array(tid), Array(1.0))
+    })
+  }
+}
