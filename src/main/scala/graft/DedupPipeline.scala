@@ -21,8 +21,12 @@ case class DedupConfig(
   minhashPerms: Int = 128,
   bands: Int = 32,
   rows: Int = 4,
-  simhashTables: Int = 8,
-  simhashBandBits: Int = 8,
+  // Manku et al. '07 scheme: 4 bands × 16 bits over the 64-bit simhash;
+  // pigeonhole guarantees any pair at Hamming ≤ 3 shares ≥1 exact band.
+  // 8-bit bands would random-collide (n/256 docs per bucket) and blow up
+  // candidate volume quadratically — measured 187k pairs on a 3.8k corpus.
+  simhashTables: Int = 4,
+  simhashBandBits: Int = 16,
   tau: Double = 0.8,
   maxHamming: Int = 3,
   maxBucket: Int = 64,
@@ -65,8 +69,8 @@ object DedupPipeline {
       .withColumn("tokens", tokens)
       .withColumn("norm", TextKernel.normText(col("tokens")))
       .withColumn("text_hash", md5(col("norm")))
-      .withColumn("shingles", array_distinct(
-        TextKernel.shingles(col("tokens"), cfg.shingleW)))
+      .withColumn("shingles",
+        HashFunctions.hashedShingles(col("tokens"), cfg.shingleW))
       .withColumn("n_tokens", size(col("tokens")))
   }
 
@@ -76,9 +80,10 @@ object DedupPipeline {
     * signature work). */
   def exactDedup(extracted: DataFrame): (DataFrame, DataFrame) = {
     import extracted.sparkSession.implicits._
-    val canon = extracted.groupBy("text_hash")
-      .agg(min("doc_id").as("canon_id"))
-    val withCanon = extracted.join(canon, Seq("text_hash"))
+    // one shuffle: window min over the hash group replaces the
+    // groupBy + join round-trip (same exchange serves both outputs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
+    val withCanon = extracted.withColumn("canon_id", min("doc_id").over(w))
     val edges = withCanon.filter($"doc_id" =!= $"canon_id")
       .select($"canon_id".as("a"), $"doc_id".as("b"))
     val reps = withCanon.filter($"doc_id" === $"canon_id")
@@ -91,29 +96,56 @@ object DedupPipeline {
     * (reference pipeline: TF-IDF → sign random projection,
     * `/root/reference/example_test.go:30-45` + `hashing.go:49-62`). */
   def signatures(reps: DataFrame, cfg: DedupConfig): DataFrame = {
-    val withTf = reps.withColumn("tf",
-      TfIdf.hashedTfEntries(col("tokens"), cfg.numFeatures))
-    val n = withTf.count()
-    val dfTable = withTf
-      .select(explode(col("tf")).as("e"))
+    // repartition by CPU: upstream AQE coalesces the (tiny-bytes) exact-
+    // dedup shuffle to few partitions, which would serialise the CPU-
+    // heavy signature computation — bytes are not proportional to CPU
+    // here, so parallelism is declared explicitly.
+    val spark = reps.sparkSession
+    val withTf = reps
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("tf",
+        HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
+
+    // df aggregation with a sentinel term (-1) folded in per doc, so ONE
+    // corpus pass yields both df(t) and n (= df(-1)); the result is a
+    // bounded dim table (≤ numFeatures rows) collected into a dense idf
+    // array and shipped as a reference object — the reference's "never
+    // materialise the diagonal" IDF trick (`weightings.go:58`),
+    // replacing an explode → join → regroup (2 corpus shuffles).
+    val dfRows = withTf
+      .select(explode(concat(col("tf"),
+        array(struct(lit(-1L).as("term"), lit(1).as("cnt"))))).as("e"))
       .groupBy(col("e.term").as("term"))
       .agg(count(lit(1)).as("df"))
-    val idfTable = TfIdf.idf(dfTable, n)
-    val weighted = TfIdf.applyIdf(withTf, "doc_id", "tf", idfTable)
-    weighted
+      .collect()
+    var n = 0L
+    dfRows.foreach { r => if (r.getLong(0) == -1L) n = r.getLong(1) }
+    val idfArr = new Array[Double](cfg.numFeatures)
+    dfRows.foreach { r =>
+      val t = r.getLong(0)
+      if (t >= 0) idfArr(t.toInt) = math.log((1.0 + n) / (1.0 + r.getLong(1)))
+    }
+
+    withTf
       .withColumn("minhash", HashFunctions.minhash128(col("shingles")))
-      .withColumn("simhash", HashFunctions.simhash64(col("tfidf")))
-      .drop("tf", "tfidf")
+      .withColumn("simhash", HashFunctions.simhash64idf(col("tf"), idfArr))
+      .drop("tf")
   }
 
   /** Stage 3 — LSH candidate pairs over representatives. */
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+    // chain-order key: first minhash permutation value — equal for
+    // identical signatures, close for high-Jaccard docs, and a cheap
+    // codegen'd element_at (hashing the whole 128-slot array per
+    // exploded row measured 16 s on a 27k corpus)
     val mh = Lsh.explodeBands(sigs, "doc_id",
-      Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows))
+      Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),
+      element_at(col("minhash"), 1))
     val all =
       if (cfg.enableSimhashBands)
         mh.union(Lsh.explodeBands(sigs, "doc_id",
-          Lsh.simhashBandKeys(col("simhash"), cfg.simhashTables, cfg.simhashBandBits)))
+          Lsh.simhashBandKeys(col("simhash"), cfg.simhashTables, cfg.simhashBandBits),
+          col("simhash")))
       else mh
     Lsh.candidatePairs(all, "doc_id", cfg.maxBucket, cfg.chainWidth)
   }
@@ -127,6 +159,9 @@ object DedupPipeline {
     val side = sigs.select(col("doc_id"), col("shingles"), col("simhash"))
     val a = side.toDF("a", "sh_a", "sig_a")
     val b = side.toDF("b", "sh_b", "sig_b")
+    // the doc_id joins shuffle both sides (sigs exceed the broadcast
+    // threshold at any real scale); their exchanges set the parallelism
+    // of the per-pair set-intersection work
     cands.join(a, "a").join(b, "b")
       .withColumn("jaccard", Measures.jaccard($"sh_a", $"sh_b"))
       .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
@@ -139,11 +174,27 @@ object DedupPipeline {
   def run(pages: DataFrame, cfg: DedupConfig = DedupConfig(),
           store: CheckpointStore = new EphemeralStore): DataFrame = {
     import pages.sparkSession.implicits._
-    val extracted = store.stage("extract") { extract(pages, cfg) }
+    // shared subtrees are consumed 2-3× downstream (verify joins sigs on
+    // both sides; reps feed signatures AND the substring pass). With a
+    // parquet store each stage is materialised on disk; in the ephemeral
+    // path persist() plays that role — without it Spark re-executes the
+    // whole upstream DAG per consumer.
+    def shared(df: DataFrame): DataFrame = store match {
+      case _: EphemeralStore =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => df
+    }
+    val extracted = shared(store.stage("extract") { extract(pages, cfg) })
     val (exactEdges0, reps0) = exactDedup(extracted)
     val exactEdges = store.stage("exact_edges", Seq("extract")) { exactEdges0 }
-    val reps = store.stage("reps", Seq("extract")) { reps0 }
-    val sigs = store.stage("signatures", Seq("reps")) { signatures(reps, cfg) }
+    val reps = shared(store.stage("reps", Seq("extract")) { reps0 })
+    // slim to what downstream stages read: banding needs the signatures,
+    // verify needs shingles — carrying text/tokens/norm through the
+    // exchanges would multiply shuffle volume for nothing
+    val sigs = shared(store.stage("signatures", Seq("reps")) {
+      signatures(reps, cfg)
+        .select(col("doc_id"), col("minhash"), col("simhash"), col("shingles"))
+    })
     val cands = store.stage("candidates", Seq("signatures")) { candidates(sigs, cfg) }
     val verified = store.stage("verified", Seq("candidates", "signatures")) {
       verifyPairs(cands, sigs, cfg)
@@ -154,13 +205,21 @@ object DedupPipeline {
           SuffixArrayStage.substringEdges(reps, "doc_id", "norm", cfg.substrMinRun)
         }
       else pages.sparkSession.emptyDataset[(Long, Long)].toDF("a", "b")
-    val edges = exactEdges.select("a", "b")
+    val edgesAll = exactEdges.select("a", "b")
       .union(verified.select("a", "b"))
       .union(substrEdges.select("a", "b"))
-    val labels = store.stage("clusters",
-      Seq("exact_edges", "verified", "substr_edges")) {
-      ConnectedComponents.run(edges)
+    // materialise the edge list once: CC consumes it multiple times
+    // (count, iterate/union-find) and the final join replays the labels
+    // — without a cut here the whole candidate DAG re-executes per
+    // consumer (measured 3-4× full recomputes per run)
+    val edges = store match {
+      case _: EphemeralStore => edgesAll.localCheckpoint()
+      case _ => store.stage("edges",
+        Seq("exact_edges", "verified", "substr_edges")) { edgesAll }
     }
+    val labels = store.stage("clusters", Seq("edges")) {
+      ConnectedComponents.run(edges)
+    }.localCheckpoint()
     extracted.select($"url", $"doc_id")
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce($"comp", $"doc_id"))

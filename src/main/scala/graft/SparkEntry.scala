@@ -1,13 +1,364 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Multimodal, TrainingDataOps}
+import graft.verify.Measures
+
+/**
+ * Driver contract (SURVEY §7.2): one `queries` entry per implemented
+ * operator; `oracleSql` gives the DuckDB-equivalent ANSI SQL over the
+ * same parquet tables. Column names and float rounding (6dp) are kept
+ * identical on both sides because the driver hashes values after
+ * sorting columns by name.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+  private def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** documents.text is already space-normalised lowercase; whitespace
+    * split matches DuckDB's string_split exactly. */
+  private val toks: Column = split(col("text"), " ")
+
+  /** 5-token string shingles (distinct), mirroring TextKernel.shingles
+    * semantics but string-valued so DuckDB can reproduce them. */
+  private def shingleStrs(t: Column, w: Int = 5): Column =
+    array_distinct(
+      when(size(t) >= w,
+        transform(sequence(lit(0), size(t) - w),
+          i => concat_ws(" ", slice(t, i + 1, lit(w)))))
+        .otherwise(array(concat_ws(" ", t))))
+
+  /** Pages-shaped view of the documents table for the dedup pipeline. */
+  private def docsAsPages(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
+
+  /** Flagship: full dedup pipeline on sf0.001 documents. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    DedupPipeline.run(docsAsPages(spark, "/root/testdata/sf0.001"), DedupConfig())
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- text kernel / stats (SURVEY P2-P4, A7) ----
+    "q_token_stats" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))),
+
+    "q_bpe_tokens" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), TrainingDataOps.bpeTokenCount(col("text")).as("n_bpe"))),
+
+    // ---- exact dedup (hash-groupBy) ----
+    "q_exact_dup" -> ((s, dir) => docs(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("canon_id"))),
+
+    "q_fingerprint" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), TrainingDataOps.fingerprint(col("text")).as("fp"))),
+
+    // ---- tf / df / idf / tf-idf (SURVEY A2, A4, A5) ----
+    "q_tf" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))),
+
+    "q_df" -> ((s, dir) => docs(s, dir)
+      .select(explode(array_distinct(toks)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))),
+
+    "q_idf" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      d.select(explode(array_distinct(toks)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .select(col("term"),
+          round(log((lit(1.0) + n) / (lit(1.0) + col("df"))), 6).as("idf"))
+    }),
+
+    "q_tfidf_top" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.count()
+      val tf = d.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val idf = d.select(explode(array_distinct(toks)).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .select(col("term"),
+          log((lit(1.0) + n) / (lit(1.0) + col("df"))).as("idf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      tf.join(broadcast(idf), "term")
+        .withColumn("tfidf", col("tf") * col("idf"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+    }),
+
+    // ---- shingling / n-gram Jaccard near-dup (SURVEY P4, D10) ----
+    "q_shingle_count" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), size(shingleStrs(toks)).as("n_shingles"))),
+
+    "q_jaccard_near" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"), shingleStrs(toks).as("sh"))
+      val a = sh.toDF("a_id", "sha")
+      // equi-join on generated offsets (scalable window pairing — no
+      // nested-loop range join)
+      val b = sh.toDF("b_id", "shb")
+        .withColumn("d", explode(sequence(lit(1), lit(25))))
+        .withColumn("a_id", col("b_id") - col("d"))
+      a.join(b, "a_id")
+        .withColumn("jac", round(Measures.jaccard(col("sha"), col("shb")), 6))
+        .filter(col("jac") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jac"))
+    }),
+
+    // ---- quality / language id ----
+    "q_quality" -> ((s, dir) =>
+      TrainingDataOps.qualityMetrics(docs(s, dir), col("text"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_tok_len"), 6).as("mean_tok_len"),
+          round(col("stop_ratio"), 6).as("stop_ratio"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"))),
+
+    "q_langid" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"), TrainingDataOps.langId(col("text")).as("lang_guess"))),
+
+    // ---- multimodal binary plumbing ----
+    "q_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(
+      docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload")),
+
+    // ---- embeddings: brute-force ANN + norms (SURVEY D1/H7) ----
+    "q_emb_norm" -> ((s, dir) => embeddings(s, dir).select(
+      col("vec_id"),
+      round(Measures.l2norm(
+        transform(col("embedding"), x => x.cast("double"))), 6).as("l2"))),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      TrainingDataOps.bruteForceTopK(
+        e, "vec_id", "embedding", e.filter(col("vec_id") < 50), 5)
+    }),
+
+    // ---- generic SQL operators over TPC-H-ish tables (SURVEY §2.7) ----
+    "q1_agg" -> ((s, dir) => lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"))),
+
+    "q_join_pri" -> ((s, dir) => lineitem(s, dir)
+      .join(orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))),
+
+    "q_events_daily" -> ((s, dir) => events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"))),
+
+    // ---- non-SQL-expressible ops: rows-only checks ----
+    "q_minhash_sig" -> ((s, dir) => {
+      val ext = DedupPipeline.extract(docsAsPages(s, dir), DedupConfig())
+      ext.select(col("url"),
+        graft.hash.HashFunctions.minhash128(col("shingles")).as("sig"))
+        .select(col("url"), size(col("sig")).as("sig_len"),
+          element_at(col("sig"), 1).as("sig0"))
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      val pipelineCfg = DedupConfig()
+      val (_, reps) = DedupPipeline.exactDedup(
+        DedupPipeline.extract(docsAsPages(s, dir), pipelineCfg))
+      DedupPipeline.signatures(reps, pipelineCfg)
+        .select(col("url"), col("simhash"))
+    }),
+
+    "q_lsh_candidates" -> ((s, dir) => {
+      val cfg = DedupConfig()
+      val (_, reps) = DedupPipeline.exactDedup(
+        DedupPipeline.extract(docsAsPages(s, dir), cfg))
+      DedupPipeline.candidates(DedupPipeline.signatures(reps, cfg), cfg)
+    }),
+
+    "q_dedup_clusters" -> ((s, dir) =>
+      DedupPipeline.run(docsAsPages(s, dir), DedupConfig())),
+
+    "q_substr_pairs" -> ((s, dir) => {
+      val cfg = DedupConfig()
+      val ext = DedupPipeline.extract(docsAsPages(s, dir), cfg)
+      graft.substr.SuffixArrayStage.substringEdges(
+        ext, "doc_id", "norm", cfg.substrMinRun)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+      TrainingDataOps.lshTopK(
+        e, "vec_id", "embedding", e.filter(col("vec_id") < 50), 5)
+    }),
+
+    "q_multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(
+      docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload").toDF())
+  )
+
+  def oracleSql: Map[String, String] = {
+    val tokSql = "string_split(text, ' ')"
+    val shingleSql =
+      s"""CASE WHEN len($tokSql) >= 5
+         | THEN list_distinct(list_transform(generate_series(1, len($tokSql)-4),
+         |        i -> array_to_string(($tokSql)[i:i+4], ' ')))
+         | ELSE [text] END""".stripMargin.replace("\n", "")
+    val stopList = TrainingDataOps.qualityStopWords
+      .map("'" + _ + "'").mkString("[", ",", "]")
+    def markerList(lang: String) = TrainingDataOps.langMarkers(lang)
+      .map("'" + _ + "'").mkString("[", ",", "]")
+    val cosSql =
+      """list_sum(list_transform(generate_series(1, len(q.qv)),
+        | i -> q.qv[i]::DOUBLE * c.cv[i]::DOUBLE))
+        | / (sqrt(list_sum(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE)))
+        |  * sqrt(list_sum(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE))))"""
+        .stripMargin.replace("\n", "")
+
+    Map(
+      "q_token_stats" ->
+        s"""SELECT doc_id, len($tokSql) AS n_tokens,
+           | len(list_distinct($tokSql)) AS n_distinct FROM documents"""
+          .stripMargin.replace("\n", ""),
+
+      "q_bpe_tokens" ->
+        """SELECT doc_id, len(regexp_extract_all(text,
+          | '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe FROM documents"""
+          .stripMargin.replace("\n", ""),
+
+      "q_exact_dup" ->
+        """SELECT md5(text) AS text_hash, count(*) AS cnt,
+          | min(doc_id) AS canon_id FROM documents GROUP BY 1"""
+          .stripMargin.replace("\n", ""),
+
+      "q_fingerprint" ->
+        s"SELECT doc_id, md5(array_to_string($tokSql, ' ')) AS fp FROM documents",
+
+      "q_tf" ->
+        s"""SELECT doc_id, term, count(*) AS tf FROM
+           | (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+           | GROUP BY doc_id, term""".stripMargin.replace("\n", ""),
+
+      "q_df" ->
+        s"""SELECT term, count(*) AS df FROM
+           | (SELECT doc_id, unnest(list_distinct($tokSql)) AS term FROM documents)
+           | GROUP BY term""".stripMargin.replace("\n", ""),
+
+      "q_idf" ->
+        s"""SELECT term, round(ln((1.0 + (SELECT count(*) FROM documents))
+           | / (1.0 + count(*))), 6) AS idf FROM
+           | (SELECT doc_id, unnest(list_distinct($tokSql)) AS term FROM documents)
+           | GROUP BY term""".stripMargin.replace("\n", ""),
+
+      "q_tfidf_top" ->
+        s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM
+           |   (SELECT doc_id, unnest($tokSql) AS term FROM documents)
+           |   GROUP BY doc_id, term),
+           | idf AS (SELECT term, ln((1.0 + (SELECT count(*) FROM documents))
+           |   / (1.0 + count(*))) AS idf FROM
+           |   (SELECT doc_id, unnest(list_distinct($tokSql)) AS term FROM documents)
+           |   GROUP BY term),
+           | sc AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf,
+           |   row_number() OVER (PARTITION BY tf.doc_id
+           |     ORDER BY tf.tf * idf.idf DESC, tf.term) AS rnk
+           |   FROM tf JOIN idf USING (term))
+           | SELECT doc_id, term, round(tfidf, 6) AS tfidf, rnk
+           | FROM sc WHERE rnk <= 3""".stripMargin.replace("\n", ""),
+
+      "q_shingle_count" ->
+        s"SELECT doc_id, len($shingleSql) AS n_shingles FROM documents",
+
+      "q_jaccard_near" ->
+        s"""WITH sh AS (SELECT doc_id, $shingleSql AS s FROM documents)
+           | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           |  round(len(list_intersect(a.s, b.s))::DOUBLE
+           |    / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+           | FROM sh a JOIN sh b
+           |  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+           | WHERE len(list_intersect(a.s, b.s))::DOUBLE
+           |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""
+          .stripMargin.replace("\n", ""),
+
+      "q_quality" ->
+        s"""SELECT doc_id, len($tokSql) AS n_tokens,
+           | round(list_sum(list_transform($tokSql, x -> len(x)))::DOUBLE
+           |   / len($tokSql), 6) AS mean_tok_len,
+           | round(len(list_filter($tokSql, x -> list_contains($stopList, x)))::DOUBLE
+           |   / len($tokSql), 6) AS stop_ratio,
+           | round(len(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE
+           |   / len(text), 6) AS alpha_ratio
+           | FROM documents""".stripMargin.replace("\n", ""),
+
+      "q_langid" ->
+        s"""WITH s AS (SELECT doc_id,
+           | len(list_filter($tokSql, x -> list_contains(${markerList("de")}, x))) AS s_de,
+           | len(list_filter($tokSql, x -> list_contains(${markerList("en")}, x))) AS s_en,
+           | len(list_filter($tokSql, x -> list_contains(${markerList("es")}, x))) AS s_es,
+           | len(list_filter($tokSql, x -> list_contains(${markerList("fr")}, x))) AS s_fr
+           | FROM documents)
+           | SELECT doc_id, CASE
+           |  WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unk'
+           |  WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+           |  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+           |  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+           |  ELSE 'fr' END AS lang_guess FROM s"""
+          .stripMargin.replace("\n", ""),
+
+      "q_multimodal_meta" ->
+        // DuckDB md5 takes VARCHAR only; payload is the UTF-8 of text,
+        // so md5(text) hashes the identical bytes
+        """SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+          | md5(text) AS payload_md5 FROM documents"""
+          .stripMargin.replace("\n", ""),
+
+      "q_emb_norm" ->
+        """SELECT vec_id, round(sqrt(list_sum(list_transform(embedding,
+          | x -> x::DOUBLE * x::DOUBLE))), 6) AS l2 FROM embeddings"""
+          .stripMargin.replace("\n", ""),
+
+      "q_ann_topk" ->
+        s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           |   WHERE vec_id < 50),
+           | c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+           | sc AS (SELECT q.qid AS query_id, c.nid AS neighbor_id,
+           |   row_number() OVER (PARTITION BY q.qid
+           |     ORDER BY $cosSql DESC, c.nid) AS rank
+           |   FROM q JOIN c ON q.qid <> c.nid)
+           | SELECT query_id, neighbor_id, rank FROM sc WHERE rank <= 5"""
+          .stripMargin.replace("\n", ""),
+
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+          | count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+          | FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+          .stripMargin.replace("\n", ""),
+
+      "q_join_pri" ->
+        """SELECT o_orderpriority, count(*) AS n_lines,
+          | sum(l_quantity) AS sum_qty
+          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          | GROUP BY o_orderpriority""".stripMargin.replace("\n", ""),
+
+      "q_events_daily" ->
+        """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+          | round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+          | FROM events GROUP BY event_type, date_trunc('day', ts)"""
+          .stripMargin.replace("\n", "")
+    )
+  }
 }

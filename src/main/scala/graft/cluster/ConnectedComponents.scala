@@ -6,55 +6,127 @@ import org.apache.spark.storage.StorageLevel
 
 /**
  * Iterative DataFrame connected components (SURVEY §2.4 H9; north-rule
- * addition — Kiveris et al. '14 family, min-label propagation variant).
+ * addition — Kiveris et al. '14 family).
  *
- * Duplicate-pair edges → cluster labels: every node ends with the
- * minimum docId reachable from it. Dedup clusters have tiny diameters
- * (near-dups of a page are near-dups of each other), so label
- * propagation converges in a handful of rounds; `maxIter` bounds
- * pathological chains (which chain-paired hot buckets can produce) and
- * each round is `localCheckpoint`ed to truncate lineage — without this,
- * iteration k replays all k−1 predecessor joins and the plan grows
- * exponentially.
+ * Each round combines **neighbour-min propagation** (labels flow across
+ * edges) with **pointer jumping** (label := label of label), which
+ * halves the remaining path length every round — O(log d) rounds for
+ * diameter d, vs O(d) for plain propagation. This matters concretely:
+ * the LSH stage chain-pairs oversized buckets, producing path graphs of
+ * diameter ≈ bucketSize/chainWidth; plain propagation measured 25+
+ * rounds (120 s) on a 3.8k corpus where this converges in ~5.
  *
- * Cost model at scale: per round one shuffle (groupBy node) over the
- * edge list + one join; edges ≈ verified duplicate pairs ≪ corpus size.
+ * Every round ends in one `localCheckpoint` (truncates lineage — an
+ * iteration-k plan would otherwise replay all k−1 joins) and one scalar
+ * aggregation: labels only decrease, so Σcomp (exact decimal, no
+ * overflow) is a strictly decreasing potential and an unchanged sum is
+ * the fixpoint test — no extra join for change detection.
+ *
+ * Cost at scale: per round 2 joins + 1 groupBy over the edge list;
+ * edges ≈ verified duplicate pairs ≪ corpus size.
  */
 object ConnectedComponents {
 
   /**
    * @param edges DataFrame with two long columns `a`, `b` (undirected).
-   * @return (id, component) for every node appearing in edges;
-   *         component = min reachable id.
+   * @return (id, comp) for every node appearing in edges;
+   *         comp = min reachable id.
    */
-  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  /** Below this edge count the graph is solved by a single-task
+    * union-find on one executor (NOT a driver collect): one job instead
+    * of ~2 per iteration. 4M edges ≈ 64 MB — trivially fits a task. At
+    * web scale the distributed loop takes over automatically. */
+  val smallGraphEdges: Long = 4000000L
+
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    val edgeCount = edges.count()
+    if (edgeCount <= smallGraphEdges) return smallGraph(edges)
+
+    // localCheckpoint (not persist): the incoming edge list carries the
+    // whole upstream pipeline as its logical plan, and an iterative loop
+    // would make Catalyst re-analyse that full tree on every round —
+    // measured 15 s/round of pure planning on a 2.3k-edge input.
+    // Checkpointing truncates the plan to the materialised blocks.
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .union(edges.select($"b".as("src"), $"a".as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .repartition(p, $"src")
+      .localCheckpoint()
 
     var labels = sym.select($"src".as("id")).distinct()
       .withColumn("comp", $"id")
       .localCheckpoint()
 
+    def potential(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum($"comp".cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var pot = potential(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // neighbour labels: for each dst, the comp of each src neighbour
+      // 1. neighbour-min: labels flow across edges
       val nbr = sym.join(labels, sym("src") === labels("id"))
         .select($"dst".as("id"), $"comp")
-      val next = nbr.union(labels.select($"id", $"comp"))
+      val merged = nbr.union(labels.select($"id", $"comp"))
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "old"), Seq("id"))
-        .filter($"comp" < $"old").limit(1).count()
+      // 2. pointer jump: comp := comp(comp) — halves path lengths
+      val m2 = merged.select($"id".as("jid"), $"comp".as("jcomp"))
+      val jumped = merged.join(m2, merged("comp") === m2("jid"), "left")
+        .select(merged("id"), coalesce($"jcomp", merged("comp")).as("comp"))
+      val t0 = System.nanoTime()
+      val next = jumped.localCheckpoint()
+      val nextPot = potential(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] iter $iter ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextPot.compareTo(pot) == 0
+      pot = nextPot
       iter += 1
     }
-    sym.unpersist()
     labels
+  }
+
+  /** Single-task union-find (size-adaptive fast path). Runs as an
+    * executor task via mapPartitions over a 1-partition repartition —
+    * the driver never materialises the graph. */
+  private def smallGraph(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x0: Long): Long = {
+          var x = x0
+          var px = parent.getOrDefault(x, x)
+          while (px != x) { // path halving
+            val ppx = parent.getOrDefault(px, px)
+            parent.put(x, ppx)
+            x = ppx
+            px = parent.getOrDefault(x, x)
+          }
+          x
+        }
+        def union(a: Long, b: Long): Unit = {
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) {
+            // min-root union keeps comp = min id, matching the
+            // distributed algorithm's labels exactly
+            if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        it.foreach { case (a, b) =>
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          union(a, b)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        parent.keySet.forEach(k => out += ((k, find(k))))
+        out.iterator
+      }
+      .toDF("id", "comp")
   }
 }

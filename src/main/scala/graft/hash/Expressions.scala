@@ -72,6 +72,80 @@ object SimHash64 {
     }
     HashKernels.simhash64(ids, ws)
   }
+
+  /** Weighted variant: weight(term) = cnt · idf[term]. */
+  def fromTfWithIdf(entries: ArrayData, idf: Array[Double]): Long = {
+    val n = entries.numElements()
+    val ids = new Array[Long](n)
+    val ws = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = entries.getStruct(i, 2)
+      val t = row.getLong(0)
+      ids(i) = t
+      ws(i) = row.getInt(1) * (if (t >= 0 && t < idf.length) idf(t.toInt) else 0.0)
+      i += 1
+    }
+    HashKernels.simhash64(ids, ws)
+  }
+}
+
+/**
+ * `simhash64idf(tfEntries)` — SimHash over the tf·idf-weighted document
+ * vector (the reference pipeline TF-IDF → sign-random-projection,
+ * `/root/reference/example_test.go:30-45` + `hashing.go:49-62`) with the
+ * idf table carried as a broadcast-style reference object (dense array
+ * indexed by hashed term id). This removes the explode → idf-join →
+ * regroup round-trip (two corpus shuffles) from the signature stage: the
+ * idf table is a bounded dim (≤ numFeatures entries) — exactly the
+ * "diagonal matrix never materialised" trick of the reference
+ * (`weightings.go:58`), distributed-style.
+ */
+case class SimHash64Idf(child: Expression, idf: Array[Double])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    SimHash64.fromTfWithIdf(v.asInstanceOf[ArrayData], idf)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idfRef = ctx.addReferenceObj("idfArr", idf, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.hash.SimHash64.fromTfWithIdf($c, $idfRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64Idf =
+    copy(child = c)
+  override def prettyName: String = "simhash64idf"
+}
+
+/** `hashedTf(tokens, numFeatures)` → sorted Array(Struct(term: Long,
+  * cnt: Int)); one-pass codegen'd replacement for the interpreted
+  * higher-order formulation. Reference collision semantics:
+  * `/root/reference/vectorisers.go:261-264`. */
+case class HashedTf(child: Expression, numFeatures: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("term", LongType, nullable = false),
+      StructField("cnt", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.hashedTf(v.asInstanceOf[ArrayData], numFeatures)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hash.HashKernels.hashedTf($c, $numFeatures)")
+  override protected def withNewChildInternal(c: Expression): HashedTf = copy(child = c)
+  override def prettyName: String = "hashed_tf"
+}
+
+/** `hashedShingles(tokens, w)` → distinct 64-bit shingle hashes
+  * (whole-doc fallback for short docs). */
+case class HashedShingles(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.hashedShingles(v.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hash.HashKernels.hashedShingles($c, $w)")
+  override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
+  override def prettyName: String = "hashed_shingles"
 }
 
 /** `winnow(text, k, window)` → winnowed k-gram fingerprint array
@@ -87,6 +161,72 @@ case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpressio
   override def prettyName: String = "winnow"
 }
 
+/**
+ * `pairGen(members)` — per-bucket candidate-pair generator (LSH H3/H4).
+ * Input: sorted Array(Struct(skey: Long, id: Long)) — one LSH bucket's
+ * members, ordered by signature sort-key. Output: Array(Struct(a, b)),
+ * a < b. Buckets up to `maxBucket` emit all pairs; larger buckets emit
+ * chain pairs (each member with its next `chainWidth` neighbours in
+ * skey order, so near-identical docs stay connected) — O(n·chainWidth)
+ * instead of O(n²), the hot-bucket skew bound of the north rule.
+ */
+case class PairGen(child: Expression, maxBucket: Int, chainWidth: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    PairGen.gen(v.asInstanceOf[ArrayData], maxBucket, chainWidth)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.hash.PairGen.gen($c, $maxBucket, $chainWidth)")
+  override protected def withNewChildInternal(c: Expression): PairGen = copy(child = c)
+  override def prettyName: String = "pair_gen"
+}
+
+object PairGen {
+  def gen(members: ArrayData, maxBucket: Int, chainWidth: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = members.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) { ids(i) = members.getStruct(i, 2).getLong(1); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](
+      if (n <= maxBucket) n * (n - 1) / 2 else n * chainWidth)
+    if (n <= maxBucket) {
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val x = ids(i); val y = ids(j)
+          if (x != y)
+            out += InternalRow(math.min(x, y), math.max(x, y))
+          j += 1
+        }
+        i += 1
+      }
+    } else {
+      // chain pairing in skey order (input arrives sorted by skey)
+      i = 0
+      while (i < n) {
+        var d = 1
+        while (d <= chainWidth && i + d < n) {
+          val x = ids(i); val y = ids(i + d)
+          if (x != y)
+            out += InternalRow(math.min(x, y), math.max(x, y))
+          d += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-level API. */
 object HashFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -96,6 +236,14 @@ object HashFunctions {
   def minhashK(c: Column, k: Int): Column = col(MinHashK(expr(c), k))
   def minhash128(c: Column): Column = minhashK(c, 128)
   def simhash64(entries: Column): Column = col(SimHash64(expr(entries)))
+  def simhash64idf(tfEntries: Column, idf: Array[Double]): Column =
+    col(SimHash64Idf(expr(tfEntries), idf))
   def winnow(text: Column, k: Int, window: Int): Column =
     col(Winnow(expr(text), k, window))
+  def hashedTf(tokens: Column, numFeatures: Int): Column =
+    col(HashedTf(expr(tokens), numFeatures))
+  def hashedShingles(tokens: Column, w: Int): Column =
+    col(HashedShingles(expr(tokens), w))
+  def pairGen(members: Column, maxBucket: Int, chainWidth: Int): Column =
+    col(PairGen(expr(members), maxBucket, chainWidth))
 }

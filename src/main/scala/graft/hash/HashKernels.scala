@@ -120,6 +120,80 @@ object HashKernels {
     eq.toDouble / a.length
   }
 
+  // ------------------------------------------------- per-doc TF and shingles
+
+  /**
+   * One-pass hashed term-frequency entries: feature id =
+   * murmur3Unsigned(token) mod numFeatures (collisions additive, as the
+   * reference DOK accumulation `/root/reference/vectorisers.go:264`),
+   * output sorted by term id. Exists as a kernel because the
+   * higher-order-function formulation (`transform`+`filter`) is
+   * interpreted (CodegenFallback) and O(distinct·tokens) with repeated
+   * sub-expression evaluation — measured ~10× slower on the hot path.
+   */
+  def hashedTf(tokens: ArrayData, numFeatures: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = tokens.numElements()
+    val ids = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = murmur3Unsigned(tokens.getUTF8String(i)) % numFeatures
+      i += 1
+    }
+    java.util.Arrays.sort(ids)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n)
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n && ids(j) == ids(i)) j += 1
+      out += InternalRow(ids(i), j - i)
+      i = j
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /**
+   * Distinct hashed w-token shingles in one pass (XXH64 seed 42 over the
+   * UTF-8 of the space-joined window — same bytes the builtin
+   * `xxhash64(concat_ws(" ", slice(...)))` formulation hashes). Docs
+   * shorter than w fall back to a single whole-doc shingle.
+   */
+  def hashedShingles(tokens: ArrayData, w: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val n = tokens.numElements()
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    var total = 0
+    while (i < n) {
+      toks(i) = tokens.getUTF8String(i).getBytes
+      total += toks(i).length
+      i += 1
+    }
+    val eff = math.min(w, math.max(1, n))
+    val nOut = math.max(1, n - eff + 1)
+    val seen = new java.util.HashSet[java.lang.Long](nOut * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](nOut)
+    val buf = new Array[Byte](total + math.max(0, n - 1))
+    i = 0
+    while (i < nOut) {
+      var len = 0
+      var j = i
+      val end = math.min(n, i + eff)
+      while (j < end) {
+        if (j > i) { buf(len) = ' '; len += 1 }
+        System.arraycopy(toks(j), 0, buf, len, toks(j).length)
+        len += toks(j).length
+        j += 1
+      }
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // -------------------------------------------------------------- winnowing
 
   /**

@@ -27,11 +27,14 @@ object Lsh {
 
   /** MinHash band keys: ArrayType(Struct(band: Int, key: Long)).
     * sig length must equal bands·rows (reference panics likewise,
-    * `lsh.go:124-127`). Key = xxhash64 of the band's rows slice. */
+    * `lsh.go:124-127`). Key = xxhash64 of the band's rows slice.
+    * Unrolled (bands is static) so every element is a codegen'd builtin
+    * — a `transform` lambda would drop the row into interpreted eval. */
   def minhashBandKeys(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      i => struct(i.cast("int").as("band"),
-        xxhash64(slice(sig, i * rows + 1, lit(rows))).as("key")))
+    array((0 until bands).map { i =>
+      struct(lit(i).as("band"),
+        xxhash64(slice(sig, i * rows + 1, rows)).as("key"))
+    }: _*)
 
   /** SimHash band keys over a 64-bit signature: `tables` bands of
     * `bits` bits each (tables·bits ≤ 64). Band ids are offset by 1000
@@ -45,43 +48,45 @@ object Lsh {
     }: _*)
   }
 
-  /** Explode per-doc band keys to bucket-entry rows (docId, band, key). */
-  def explodeBands(docs: DataFrame, docId: String, bandKeys: Column): DataFrame =
-    docs.select(col(docId), explode(bandKeys).as("bk"))
-      .select(col(docId), col("bk.band").as("band"), col("bk.key").as("key"))
+  /** Explode per-doc band keys to bucket-entry rows
+    * (docId, band, key, skey). `sortKey` orders members inside oversized
+    * buckets for chain pairing — pass the signature (or a hash of it) so
+    * near-identical docs sit adjacent and capped chains still connect
+    * true duplicates. */
+  def explodeBands(docs: DataFrame, docId: String, bandKeys: Column,
+                   sortKey: Column): DataFrame =
+    docs.select(col(docId), sortKey.as("skey"), explode(bandKeys).as("bk"))
+      .select(col(docId), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("skey"))
 
   /**
    * Candidate pairs from bucket-entry rows. Returns distinct (a, b),
-   * a < b. `orderCol` optionally supplies the intra-bucket chain order
-   * for oversized buckets (defaults to docId order).
+   * a < b. Single-pass design: ONE shuffle (groupBy band,key), bucket
+   * members collected sorted by `skey`, pairs emitted by the codegen'd
+   * [[graft.hash.PairGen]] expression — all-pairs for buckets up to
+   * `maxBucket`, skey-ordered chain pairs beyond (skew bound). The
+   * earlier windows+self-joins formulation scanned the bucket relation
+   * four times; this scans it once.
+   *
+   * `hardCap` bounds collect_list growth on pathological mega-buckets
+   * (boilerplate shared by millions of pages): members beyond it are
+   * dropped from pairing — logged volume, never silent, and such pages
+   * still dedup via the exact-hash stage.
    */
   def candidatePairs(buckets: DataFrame, docId: String,
-                     maxBucket: Int, chainWidth: Int): DataFrame = {
+                     maxBucket: Int, chainWidth: Int,
+                     hardCap: Int = 100000): DataFrame = {
     import buckets.sparkSession.implicits._
-    // rank members within bucket once; reuse for both paths
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "key").orderBy(col(docId))
-    val ranked = buckets
-      .withColumn("rn", row_number().over(w))
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
-    val small = ranked.filter($"bsz" <= maxBucket)
-    val big = ranked.filter($"bsz" > maxBucket)
-
-    // small buckets: full all-pairs self-join within (band, key)
-    val sa = small.select($"band", $"key", col(docId).as("a"))
-    val sb = small.select($"band", $"key", col(docId).as("b"))
-    val smallPairs = sa.join(sb, Seq("band", "key"))
-      .filter($"a" < $"b").select($"a", $"b")
-
-    // big buckets: chain pairing rn -> rn+1..rn+chainWidth
-    val ba = big.select($"band", $"key", col(docId).as("a"), $"rn".as("ra"))
-    val bb = big.select($"band", $"key", col(docId).as("b"), $"rn".as("rb"))
-    val bigPairs = ba.join(bb, Seq("band", "key"))
-      .filter($"rb" > $"ra" && $"rb" <= $"ra" + chainWidth)
-      .select(
-        least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
-
-    smallPairs.union(bigPairs).distinct()
+    val skey: Column =
+      if (buckets.columns.contains("skey")) col("skey") else col(docId)
+    val grouped = buckets
+      .groupBy($"band", $"key")
+      .agg(slice(sort_array(collect_list(struct(skey.as("skey"),
+        col(docId).as("id")))), 1, hardCap).as("members"))
+    grouped
+      .select(explode(graft.hash.HashFunctions.pairGen(
+        $"members", maxBucket, chainWidth)).as("p"))
+      .select($"p.a", $"p.b")
+      .distinct()
   }
 }

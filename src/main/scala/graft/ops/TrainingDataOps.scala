@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.verify.Measures
+
+/**
+ * Large-scale training-data pipeline operators beyond the reference's
+ * surface: quality scoring, language id, token counting, fingerprinting,
+ * approximate nearest neighbours over embeddings. All are declarative
+ * Column/DataFrame transforms (codegen'd builtins), shuffle-free unless
+ * inherently aggregating.
+ */
+object TrainingDataOps {
+
+  /** Small English stop set used by quality scoring (deterministic,
+    * SQL-expressible so the DuckDB oracle can mirror it). */
+  val qualityStopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "is", "are",
+    "was", "with", "for", "at", "by", "from", "it", "this", "that")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword segment count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token (the shape a byte
+    *-pair encoder's pre-tokeniser produces). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Quality metrics: token count, mean token length, stop-word ratio,
+    * alphabetic char ratio. */
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = split(text, " ")
+    df.withColumn("n_tokens", size(toks))
+      .withColumn("mean_tok_len",
+        aggregate(toks, lit(0.0), (acc, t) => acc + length(t))
+          / size(toks))
+      .withColumn("stop_ratio",
+        size(filter(toks, t => array_contains(
+          lit(qualityStopWords.toArray), t))).cast("double") / size(toks))
+      .withColumn("alpha_ratio",
+        (length(regexp_replace(text, "[^a-z]", "")).cast("double")
+          / length(text)))
+  }
+
+  /** Marker-word tables for the n-gram/marker language-id heuristic.
+    * Deterministic and SQL-expressible (CASE argmax with ties broken by
+    * language code order). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "es", "y", "una"))
+
+  /** Language guess: argmax marker hits; "unk" when no marker fires.
+    * Ties broken by language-code sort order. */
+  def langId(text: Column): Column = {
+    val toks = split(text, " ")
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      (lang, size(filter(toks,
+        t => array_contains(lit(markers.toArray), t))))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("unk"): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  // NOTE foldRight: earlier languages (sorted order) win ties because
+  // the fold nests their `when` outermost.
+
+  /** Document fingerprint: md5 of the whitespace-normalised token
+    * stream — the exact-dup key of the dedup pipeline, exposed as an op. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", split(text, " ")))
+
+  /**
+   * Brute-force cosine top-k neighbours: the exact baseline every ANN
+   * variant is scored against (mirrors the reference's linear-scan
+   * oracle, `/root/reference/index.go:75-115`). Queries are broadcast
+   * (small k·queries), corpus side streams — one pass, no shuffle on
+   * the corpus.
+   * Output: (query_id, neighbor_id, rank), rank 1..k by (cos desc, id).
+   */
+  def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Measures.cosineDense(
+        transform(col("qv"), x => x.cast("double")),
+        transform(col("cv"), x => x.cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /**
+   * LSH-bucketed ANN (the scale path): 64-bit SimHash of the embedding
+   * via deterministic random hyperplanes, banded into `tables` buckets;
+   * candidates = bucket collisions; exact cosine re-rank per query.
+   * At 10^9+ vectors the bucket shuffle replaces the O(n·q) scan.
+   */
+  def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int,
+              tables: Int = 8, bits: Int = 8): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    def sig(vec: Column): Column = {
+      // dense vector -> sparse entries (index as term id) -> simhash64
+      val entries = zip_with(
+        sequence(lit(0L), lit(63L)), transform(vec, x => x.cast("double")),
+        (i, x) => struct(i.as("term"), x.as("weight")))
+      graft.hash.HashFunctions.simhash64(entries)
+    }
+    val c = embeddings.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), sig(col(vecCol)).as("csig"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), sig(col(vecCol)).as("qsig"))
+    val cb = c.select($"neighbor_id", $"cv", explode(
+      graft.lsh.Lsh.simhashBandKeys($"csig", tables, bits)).as("bk"))
+      .select($"neighbor_id", $"cv", $"bk.band", $"bk.key")
+    val qb = q.select($"query_id", $"qv", explode(
+      graft.lsh.Lsh.simhashBandKeys($"qsig", tables, bits)).as("bk"))
+      .select($"query_id", $"qv", $"bk.band", $"bk.key")
+    val cands = qb.join(cb, Seq("band", "key"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"qv", $"neighbor_id", $"cv").distinct()
+    val scored = cands.withColumn("cos", Measures.cosineDense(
+      transform($"qv", x => x.cast("double")),
+      transform($"cv", x => x.cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cos"))
+  }
+}

@@ -146,7 +146,8 @@ object SuffixArrayStage {
     val cands = graft.lsh.Lsh.candidatePairs(
       buckets.select("doc_id", "band", "key"), "doc_id", maxBucket, chainWidth)
 
-    // exact SA verification per candidate pair
+    // exact SA verification per candidate pair; the doc_id joins
+    // shuffle and set the parallelism of the SA builds
     val ta = base.toDF("a", "ta")
     val tb = base.toDF("b", "tb")
     cands.join(ta, "a").join(tb, "b")

@@ -103,6 +103,26 @@ class HashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(HashKernels.hammingSim(s1, s2, 1024) === 1.0)
   }
 
+  test("one-pass HashedTf / HashedShingles match the builtin formulations") {
+    import spark.implicits._
+    import graft.text.TextKernel
+    val df = testSet.toDF("text")
+      .withColumn("tokens", TextKernel.tokenize($"text"))
+    // HashedTf vs higher-order hashedTfEntries (cnt type differs: Int)
+    val a = df.select(TfIdf.hashedTfEntries($"tokens", 260000).as("e"))
+      .selectExpr("transform(e, x -> struct(x.term as term, x.cnt as cnt)) as e")
+      .as[Seq[(Long, Int)]].collect()
+    val b = df.select(HashFunctions.hashedTf($"tokens", 260000).as("e"))
+      .as[Seq[(Long, Int)]].collect()
+    assert(a.map(_.toSet).toSeq === b.map(_.toSet).toSeq)
+    // HashedShingles vs array_distinct(builtin xxhash64 formulation)
+    val c = df.select(array_distinct(
+      TextKernel.shingles($"tokens", 5)).as("s")).as[Seq[Long]].collect()
+    val d = df.select(HashFunctions.hashedShingles($"tokens", 5).as("s"))
+      .as[Seq[Long]].collect()
+    assert(c.map(_.toSet).toSeq === d.map(_.toSet).toSeq)
+  }
+
   test("expressions evaluate inside a DataFrame plan (codegen path)") {
     import spark.implicits._
     val df = Seq(("hello", Seq(1L, 2L, 3L))).toDF("w", "sh")
