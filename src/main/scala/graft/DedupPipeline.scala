@@ -219,7 +219,7 @@ object DedupPipeline {
     }
     val labels = store.stage("clusters", Seq("edges")) {
       ConnectedComponents.run(edges)
-    }.localCheckpoint()
+    }
     extracted.select($"url", $"doc_id")
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce($"comp", $"doc_id"))

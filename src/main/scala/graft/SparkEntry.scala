@@ -120,6 +120,24 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), col("jac"))
     }),
 
+    // ---- vocabulary fit (A1, first-appearance order) ----
+    "q_vocab" -> ((s, dir) => graft.tfidf.Vocabulary.fit(
+      docs(s, dir), col("doc_id"), toks)),
+
+    // ---- distance measures over embedding pairs (D3, D7, D8) ----
+    "q_measures" -> ((s, dir) => {
+      val e = embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("v"))
+      val a = e.toDF("a_id", "va")
+      val b = e.toDF("b_id", "vb").withColumn("a_id", col("b_id") - 1)
+      a.join(b, "a_id").select(col("a_id"), col("b_id"),
+        round(Measures.euclidean(col("va"), col("vb")), 6).as("euclid"),
+        round(Measures.manhattan(col("va"), col("vb")), 6).as("manhattan"),
+        round(Measures.cosineDense(col("va"), col("vb")), 6).as("cos"),
+        round(Measures.angularSim(col("va"), col("vb")), 6).as("angular_sim"))
+    }),
+
     // ---- quality / language id ----
     "q_quality" -> ((s, dir) =>
       TrainingDataOps.qualityMetrics(docs(s, dir), col("text"))
@@ -293,6 +311,39 @@ object SparkEntry {
            | WHERE len(list_intersect(a.s, b.s))::DOUBLE
            |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""
           .stripMargin.replace("\n", ""),
+
+      "q_vocab" ->
+        s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+           | pos AS (SELECT doc_id, i-1 AS p, toks[i] AS term FROM tok,
+           |   LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i)),
+           | first AS (SELECT term, min(doc_id*1000000 + p) AS k FROM pos
+           |   GROUP BY term)
+           | SELECT term, row_number() OVER (ORDER BY k) - 1 AS id
+           | FROM first""".stripMargin.replace("\n", ""),
+
+      "q_measures" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+          | p AS (SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+          |   x.embedding AS ea, y.embedding AS eb
+          |   FROM e x JOIN e y ON y.vec_id = x.vec_id + 1)
+          | SELECT a_id, b_id,
+          |  round(sqrt(list_sum(list_transform(generate_series(1, len(ea)),
+          |    i -> (ea[i]::DOUBLE - eb[i]::DOUBLE)
+          |       * (ea[i]::DOUBLE - eb[i]::DOUBLE)))), 6) AS euclid,
+          |  round(list_sum(list_transform(generate_series(1, len(ea)),
+          |    i -> abs(ea[i]::DOUBLE - eb[i]::DOUBLE))), 6) AS manhattan,
+          |  round(list_sum(list_transform(generate_series(1, len(ea)),
+          |    i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+          |   / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+          |    * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
+          |    6) AS cos,
+          |  round(1.0 - acos(least(
+          |    list_sum(list_transform(generate_series(1, len(ea)),
+          |      i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
+          |   / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
+          |    * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
+          |    1.0)) / pi(), 6) AS angular_sim
+          | FROM p""".stripMargin.replace("\n", ""),
 
       "q_quality" ->
         s"""SELECT doc_id, len($tokSql) AS n_tokens,

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.DedupConfig
+import graft.ops.IncrementalIndex
+
+/**
+ * Streaming ingestion (SURVEY §1.1 "streaming"): the reference's
+ * `PartialFit` mini-batch accretion
+ * (`/root/reference/randomprojection.go:253-270`, `vectorisers.go:22-25`)
+ * maps to Structured Streaming `foreachBatch` — each micro-batch of new
+ * pages is (1) matched against the signature index built so far (newly
+ * arriving near-duplicates surface immediately) and (2) appended to the
+ * index. The reference has no event-time semantics (its "streaming" is
+ * state accretion only), so no watermarking is required; exactly-once
+ * appends come from the sink path + Spark's streaming checkpointing.
+ *
+ * Scale shape: per micro-batch cost is O(batch) signature work plus a
+ * band-key join against the stored index — never a full recompute.
+ */
+object StreamingDedup {
+
+  /**
+   * Start the ingestion query.
+   * @param pagesStream streaming DataFrame with (url, text)
+   * @param indexPath   signature-index location
+   * @param onMatches   callback per micro-batch with the new-dup matches
+   *                    (query_url, match_url, jaccard)
+   */
+  def start(spark: SparkSession, pagesStream: DataFrame, indexPath: String,
+            cfg: DedupConfig = DedupConfig(),
+            onMatches: DataFrame => Unit = _ => ())
+  : StreamingQuery = {
+    val index = new IncrementalIndex(spark, indexPath, cfg)
+    pagesStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        try {
+          if (!index.isEmpty) onMatches(index.search(b))
+          index.put(b)
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+}

@@ -155,6 +155,8 @@ object SuffixArrayStage {
       .flatMap { case (a, b, sa, sb) =>
         if (hasCommonRun(sa, sb, minRun)) Iterator((a, b)) else Iterator.empty
       }
-      .toDF("a", "b").distinct()
+      .toDF("a", "b")
+    // no distinct: edges feed connected components, which tolerates
+    // duplicates — a dedup shuffle here would only burn a stage
   }
 }
