@@ -35,6 +35,15 @@ case class DedupConfig(
   substrMinRun: Int = 60,
   enableSubstr: Boolean = true,
   enableSimhashBands: Boolean = true,
+  // df-conditioned shingling: shingles appearing in more than
+  // max(hotShingleMinDf, hotShingleDfFrac·reps) documents are excluded
+  // from MinHash banding (NOT from verification). Boilerplate shared by
+  // k pages would otherwise produce O(k²) false candidate pairs —
+  // measured 6.2M candidates (98% false) on a 341k corpus with a 5%
+  // boilerplate block.
+  hotShingleMinDf: Int = 8,
+  hotShingleDfFrac: Double = 0.001,
+  hotShingleCap: Int = 1 << 20,
   stopWords: Seq[String] = Nil) {
   require(minhashPerms == bands * rows,
     s"signature length $minhashPerms must equal bands*rows (${bands * rows}); " +
@@ -126,8 +135,26 @@ object DedupPipeline {
       if (t >= 0) idfArr(t.toInt) = math.log((1.0 + n) / (1.0 + r.getLong(1)))
     }
 
+    // hot ("stop") shingles: df above threshold → excluded from banding.
+    // Bounded dim collect: only rows over the threshold come back.
+    val dfThreshold = math.max(cfg.hotShingleMinDf,
+      (cfg.hotShingleDfFrac * n).toLong)
+    val hotRows = withTf
+      .select(explode(col("shingles")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfThreshold)
+      .orderBy(col("df").desc)
+      .limit(cfg.hotShingleCap)
+      .select("sh").collect().map(_.getLong(0)).sorted
+    if (hotRows.length >= cfg.hotShingleCap)
+      System.err.println( // no silent caps: dropped volume must be visible
+        s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} entries")
+    val bandShingles =
+      if (hotRows.isEmpty) col("shingles")
+      else HashFunctions.filterNotIn(col("shingles"), hotRows)
+
     withTf
-      .withColumn("minhash", HashFunctions.minhash128(col("shingles")))
+      .withColumn("minhash", HashFunctions.minhash128(bandShingles))
       .withColumn("simhash", HashFunctions.simhash64idf(col("tf"), idfArr))
       .drop("tf")
   }
@@ -141,13 +168,14 @@ object DedupPipeline {
     val mh = Lsh.explodeBands(sigs, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),
       element_at(col("minhash"), 1))
-    val all =
-      if (cfg.enableSimhashBands)
-        mh.union(Lsh.explodeBands(sigs, "doc_id",
-          Lsh.simhashBandKeys(col("simhash"), cfg.simhashTables, cfg.simhashBandBits),
-          col("simhash")))
-      else mh
-    Lsh.candidatePairs(all, "doc_id", cfg.maxBucket, cfg.chainWidth)
+    val mhPairs = Lsh.candidatePairs(mh, "doc_id", cfg.maxBucket, cfg.chainWidth)
+    if (cfg.enableSimhashBands) {
+      // SimHash path: sorted-neighborhood over rotations (Manku '07) —
+      // fixed-width band keys saturate quadratically with corpus size
+      val shPairs = Lsh.simhashNeighborPairs(
+        sigs, "doc_id", "simhash", cfg.simhashTables, cfg.chainWidth)
+      mhPairs.union(shPairs).distinct()
+    } else mhPairs
   }
 
   /** Stage 4 — exact verification of candidate pairs

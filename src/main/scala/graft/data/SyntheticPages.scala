@@ -56,75 +56,93 @@ object SyntheticPages {
                   text: String, lang: String)
   case class ExpectedPair(urlA: String, urlB: String, kind: String)
 
-  /** Build (pages, expectedPairs). `n` base documents; planted rows are
-    * appended after the base block with derived urls. */
+  private def urlOf(i: Long, tag: String = ""): String =
+    s"https://www.site${i % 997}.example/p/$tag$i"
+  private def tsOf(i: Long): Timestamp =
+    new Timestamp(1500000000000L + (mix(i) >>> 24))
+  private def langOf(i: Long): String = langs(pick(mix(i ^ 0xabcdL), langs.length))
+  private def htmlOf(text: String): Array[Byte] =
+    s"<html><body>$text</body></html>".getBytes("UTF-8")
+
+  case class GenSpec(n: Int, nExact: Int, nNear: Int, nSub: Int,
+                     boilerPromille: Int)
+
+  private def baseDocText(spec: GenSpec, i: Long): String = {
+    val t0 = baseText(i, 40 + pick(mix(i ^ 0x1111L), 80))
+    if (pick(mix(i ^ 0x2222L), 1000) < spec.boilerPromille)
+      t0 + " " + baseText(-999999L, 120) // shared hot paragraph
+    else t0
+  }
+
+  private def nearText(spec: GenSpec, j: Int): String = {
+    val toks = baseDocText(spec, spec.nExact + j).split(" ")
+    val it = rngStream(0x4ea4L + j)
+    val nEdits = 1 + pick(it.next(), 3)
+    (0 until nEdits).foreach { _ =>
+      val p = pick(it.next(), toks.length)
+      toks(p) = words(pick(it.next(), words.length))
+    }
+    toks.mkString(" ")
+  }
+
+  private def subText(spec: GenSpec, j: Int): String = {
+    val toks = baseDocText(spec, spec.nExact + spec.nNear + j).split(" ")
+    val run = toks.take(math.min(60, toks.length)).mkString(" ")
+    baseText(5000000L + j, 30) + " " + run + " " + baseText(6000000L + j, 30)
+  }
+
+  def pageOf(spec: GenSpec, row: Long): Page = {
+    val n = spec.n
+    if (row < n) {
+      val t = baseDocText(spec, row)
+      Page(urlOf(row), tsOf(row), htmlOf(t), t, langOf(row))
+    } else if (row < n + spec.nExact) {
+      val j = (row - n).toInt
+      val t = baseDocText(spec, j)
+      Page(urlOf(j, "dupx"), tsOf(n.toLong + j), htmlOf(t), t, langOf(j))
+    } else if (row < n.toLong + spec.nExact + spec.nNear) {
+      val j = (row - n - spec.nExact).toInt
+      val t = nearText(spec, j)
+      Page(urlOf(j, "dupn"), tsOf(2L * n + j), htmlOf(t), t,
+        langOf(spec.nExact + j))
+    } else {
+      val j = (row - n - spec.nExact - spec.nNear).toInt
+      val t = subText(spec, j)
+      Page(urlOf(j, "dups"), tsOf(3L * n + j), htmlOf(t), t,
+        langOf(spec.nExact + spec.nNear + j))
+    }
+  }
+
+  /**
+   * Build (pages, expectedPairs). `n` base documents; planted rows are
+   * appended after the base block with derived urls.
+   *
+   * Generation is **distributed and index-pure**: `spark.range` over row
+   * ids with every field a deterministic function of the id. A
+   * driver-side Seq would ride through every downstream plan as a
+   * LocalRelation that Catalyst re-hashes on each transform — measured
+   * ~35 s of single-threaded driver time per run at 341k rows.
+   */
   def generate(spark: SparkSession, n: Int,
                exactFrac: Double = 0.05, nearFrac: Double = 0.05,
                substrFrac: Double = 0.02, boilerFrac: Double = 0.05)
   : (DataFrame, DataFrame) = {
     import spark.implicits._
 
-    val boiler = baseText(-999999L, 120) // shared hot paragraph
     val nExact = (n * exactFrac).toInt
     val nNear = (n * nearFrac).toInt
     val nSub = (n * substrFrac).toInt
+    val total = n.toLong + nExact + nNear + nSub
+    val spec = GenSpec(n, nExact, nNear, nSub, (boilerFrac * 1000).toInt)
 
-    def urlOf(i: Long, tag: String = ""): String =
-      s"https://www.site${i % 997}.example/p/$tag$i"
-    def tsOf(i: Long): Timestamp =
-      new Timestamp(1500000000000L + (mix(i) >>> 24))
-    def langOf(i: Long): String = langs(pick(mix(i ^ 0xabcdL), langs.length))
-    def htmlOf(text: String): Array[Byte] =
-      s"<html><body>$text</body></html>".getBytes("UTF-8")
+    val pagesDf = spark.range(0, total,
+        1, spark.sparkContext.defaultParallelism)
+      .as[Long].map(row => SyntheticPages.pageOf(spec, row)).toDF()
 
-    // base docs; ~boilerFrac of them get the hot paragraph appended
-    val base = (0L until n).map { i =>
-      val t0 = baseText(i, 40 + pick(mix(i ^ 0x1111L), 80))
-      val t = if (pick(mix(i ^ 0x2222L), 1000) < (boilerFrac * 1000).toInt)
-        t0 + " " + boiler else t0
-      Page(urlOf(i), tsOf(i), htmlOf(t), t, langOf(i))
-    }
-
-    val pairs = scala.collection.mutable.ArrayBuffer.empty[ExpectedPair]
-
-    // exact dups of docs 0..nExact
-    val exacts = (0 until nExact).map { j =>
-      val src = base(j)
-      pairs += ExpectedPair(src.url, urlOf(j, "dupx"), "exact")
-      Page(urlOf(j, "dupx"), tsOf(n + j), src.html, src.text, src.lang)
-    }
-
-    // near dups: 1-3 token substitutions of docs nExact..nExact+nNear
-    val nears = (0 until nNear).map { j =>
-      val src = base(nExact + j)
-      val toks = src.text.split(" ")
-      val it = rngStream(0x4ea4L + j)
-      val nEdits = 1 + pick(it.next(), 3)
-      (0 until nEdits).foreach { _ =>
-        val p = pick(it.next(), toks.length)
-        toks(p) = words(pick(it.next(), words.length))
-      }
-      val t = toks.mkString(" ")
-      pairs += ExpectedPair(src.url, urlOf(j, "dupn"), "near")
-      Page(urlOf(j, "dupn"), tsOf(2 * n + j), htmlOf(t), t, src.lang)
-    }
-
-    // substring dups: 60-token verbatim run from doc k inside fresh salad
-    val subs = (0 until nSub).map { j =>
-      val k = nExact + nNear + j
-      val src = base(k)
-      val toks = src.text.split(" ")
-      val runLen = math.min(60, toks.length)
-      val run = toks.take(runLen).mkString(" ")
-      val t = baseText(5000000L + j, 30) + " " + run + " " + baseText(6000000L + j, 30)
-      pairs += ExpectedPair(src.url, urlOf(j, "dups"), "substr")
-      Page(urlOf(j, "dups"), tsOf(3 * n + j), htmlOf(t), t, src.lang)
-    }
-
-    val all = base ++ exacts ++ nears ++ subs
-    val pagesDf = spark.createDataset(all).toDF()
-      .repartition(spark.sparkContext.defaultParallelism)
-    val pairsDf = spark.createDataset(pairs.toSeq).toDF()
-    (pagesDf, pairsDf)
+    val pairs =
+      (0 until nExact).map(j => ExpectedPair(urlOf(j), urlOf(j, "dupx"), "exact")) ++
+      (0 until nNear).map(j => ExpectedPair(urlOf(nExact + j), urlOf(j, "dupn"), "near")) ++
+      (0 until nSub).map(j => ExpectedPair(urlOf(nExact + nNear + j), urlOf(j, "dups"), "substr"))
+    (pagesDf, spark.createDataset(pairs).toDF())
   }
 }

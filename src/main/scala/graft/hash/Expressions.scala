@@ -192,9 +192,25 @@ object PairGen {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val n = members.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val ids = new Array[Long](n)
+    // sort by (skey, id) with primitive longs — a sort_array over the
+    // struct array upstream runs a boxing Ordering comparator that
+    // stack-sampling showed dominating skewed-bucket reducers
+    val keyed = new Array[Long](n * 2)
     var i = 0
-    while (i < n) { ids(i) = members.getStruct(i, 2).getLong(1); i += 1 }
+    while (i < n) {
+      val r = members.getStruct(i, 2)
+      keyed(2 * i) = r.getLong(0); keyed(2 * i + 1) = r.getLong(1)
+      i += 1
+    }
+    val order = Array.tabulate(n)(identity)
+    val boxedOrder = order.map(Integer.valueOf)
+    java.util.Arrays.sort(boxedOrder, (x: Integer, y: Integer) => {
+      val c = java.lang.Long.compare(keyed(2 * x), keyed(2 * y))
+      if (c != 0) c else java.lang.Long.compare(keyed(2 * x + 1), keyed(2 * y + 1))
+    })
+    val ids = new Array[Long](n)
+    i = 0
+    while (i < n) { ids(i) = keyed(2 * boxedOrder(i) + 1); i += 1 }
     val out = new scala.collection.mutable.ArrayBuffer[Any](
       if (n <= maxBucket) n * (n - 1) / 2 else n * chainWidth)
     if (n <= maxBucket) {
@@ -227,6 +243,47 @@ object PairGen {
   }
 }
 
+/**
+ * `filterNotIn(arr)` — drop array elements present in a (sorted) drop
+ * list carried as a reference object; binary-search per element. Used
+ * for df-conditioned shingling: corpus-hyper-frequent ("stop")
+ * shingles are excluded from MinHash banding so boilerplate shared by
+ * thousands of pages cannot cross-collide every page pair — the skew
+ * control the north rule's salting requirement is about, applied at
+ * the source. Verification still uses the FULL shingle sets, so
+ * recall is measured against unmodified Jaccard.
+ */
+case class FilterNotIn(child: Expression, dropSorted: Array[Long])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    FilterNotIn.filter(v.asInstanceOf[ArrayData], dropSorted)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dropSorted", dropSorted, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.hash.FilterNotIn.filter($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): FilterNotIn =
+    copy(child = c)
+  override def prettyName: String = "filter_not_in"
+}
+
+object FilterNotIn {
+  def filter(arr: ArrayData, dropSorted: Array[Long]): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      if (java.util.Arrays.binarySearch(dropSorted, v) < 0) { out(k) = v; k += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+}
+
 /** Column-level API. */
 object HashFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -246,4 +303,6 @@ object HashFunctions {
     col(HashedShingles(expr(tokens), w))
   def pairGen(members: Column, maxBucket: Int, chainWidth: Int): Column =
     col(PairGen(expr(members), maxBucket, chainWidth))
+  def filterNotIn(arr: Column, dropSorted: Array[Long]): Column =
+    col(FilterNotIn(expr(arr), dropSorted))
 }

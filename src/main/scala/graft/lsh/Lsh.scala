@@ -38,7 +38,10 @@ object Lsh {
 
   /** SimHash band keys over a 64-bit signature: `tables` bands of
     * `bits` bits each (tables·bits ≤ 64). Band ids are offset by 1000
-    * so they never collide with MinHash band ids in a unioned table. */
+    * so they never collide with MinHash band ids in a unioned table.
+    * NOTE: fixed-width keys saturate as the corpus outgrows 2^bits
+    * buckets (random collisions grow O(n²/2^bits)); prefer
+    * [[simhashNeighborPairs]] beyond ~10^5 docs. */
   def simhashBandKeys(sig64: Column, tables: Int, bits: Int): Column = {
     val mask = (1L << bits) - 1
     // unrolled (tables is small and static) — keeps shift amounts literal
@@ -46,6 +49,58 @@ object Lsh {
       struct(lit(i + 1000).as("band"),
         shiftright(sig64, i * bits).bitwiseAND(lit(mask)).as("key"))
     }: _*)
+  }
+
+  /**
+   * Manku et al. '07-style sorted-neighborhood SimHash candidates: for
+   * each of `tables` bit-rotations of the 64-bit fingerprint, sort the
+   * corpus by the rotated value (range partition + partition-local sort
+   * — fully distributed, no global bottleneck) and pair each doc with
+   * its next `width` neighbours. Hamming-close fingerprints sort
+   * adjacently under at least one rotation. O(n·tables·width) pairs at
+   * ANY corpus size — no 2^bits bucket saturation (fixed-width 16-bit
+   * band keys measured 6M random-collision pairs on a 341k corpus).
+   * Pairs across range-partition boundaries are the only loss
+   * (≤ width·partitions per rotation, negligible).
+   */
+  def simhashNeighborPairs(sigs: DataFrame, docId: String, sigCol: String,
+                           tables: Int, width: Int = 2): DataFrame = {
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    val parts = spark.sparkContext.defaultParallelism
+    val rotated = (0 until tables).map { t =>
+      val rot = t * (64 / tables)
+      // unsigned-comparable rotation: flip the sign bit so the range
+      // sort orders by the unsigned fingerprint value
+      val key = shiftleft(col(sigCol), rot)
+        .bitwiseOR(shiftrightunsigned(col(sigCol), 64 - rot))
+        .bitwiseXOR(lit(Long.MinValue))
+      sigs.select(col(docId).cast("long").as("id"), key.as("k"))
+    }
+    rotated.map { df =>
+      df.repartitionByRange(parts, $"k")
+        .sortWithinPartitions($"k")
+        .select($"id").as[Long]
+        .mapPartitions { it =>
+          val buf = new Array[Long](width)
+          var filled = 0
+          var pos = 0
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          it.foreach { id =>
+            var j = 0
+            while (j < filled) {
+              val prev = buf(j)
+              if (prev != id)
+                out += ((math.min(prev, id), math.max(prev, id)))
+              j += 1
+            }
+            buf(pos % width) = id
+            pos += 1
+            if (filled < width) filled += 1
+          }
+          out.iterator
+        }.toDF("a", "b")
+    }.reduce(_ union _)
   }
 
   /** Explode per-doc band keys to bucket-entry rows
@@ -81,8 +136,8 @@ object Lsh {
       if (buckets.columns.contains("skey")) col("skey") else col(docId)
     val grouped = buckets
       .groupBy($"band", $"key")
-      .agg(slice(sort_array(collect_list(struct(skey.as("skey"),
-        col(docId).as("id")))), 1, hardCap).as("members"))
+      .agg(slice(collect_list(struct(skey.as("skey"),
+        col(docId).as("id"))), 1, hardCap).as("members"))
     grouped
       .select(explode(graft.hash.HashFunctions.pairGen(
         $"members", maxBucket, chainWidth)).as("p"))

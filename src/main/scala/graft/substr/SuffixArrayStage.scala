@@ -146,12 +146,16 @@ object SuffixArrayStage {
     val cands = graft.lsh.Lsh.candidatePairs(
       buckets.select("doc_id", "band", "key"), "doc_id", maxBucket, chainWidth)
 
-    // exact SA verification per candidate pair; the doc_id joins
-    // shuffle and set the parallelism of the SA builds
+    // exact SA verification per candidate pair. The repartition AFTER
+    // the joins is load-bearing: AQE coalesces the join output by bytes
+    // (pairs are small) while the SA build is CPU-bound — without it the
+    // whole verification ran in 3 tasks (measured 40 s serial tail).
     val ta = base.toDF("a", "ta")
     val tb = base.toDF("b", "tb")
     cands.join(ta, "a").join(tb, "b")
-      .select($"a", $"b", $"ta", $"tb").as[(Long, Long, String, String)]
+      .select($"a", $"b", $"ta", $"tb")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[(Long, Long, String, String)]
       .flatMap { case (a, b, sa, sb) =>
         if (hasCommonRun(sa, sb, minRun)) Iterator((a, b)) else Iterator.empty
       }
