@@ -72,7 +72,7 @@ object DedupPipeline {
     * Adds docId, tokens, norm, text_hash, shingles, n_tokens. */
   def extract(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = TextKernel.dropStopWords(
-      TextKernel.tokenize(col("text")), cfg.stopWords)
+      TextKernel.tokenize(coalesce(col("text"), lit(""))), cfg.stopWords)
     pages
       .withColumn("doc_id", xxhash64(col("url")))
       .withColumn("tokens", tokens)
@@ -129,11 +129,10 @@ object DedupPipeline {
       .collect()
     var n = 0L
     dfRows.foreach { r => if (r.getLong(0) == -1L) n = r.getLong(1) }
-    val idfArr = new Array[Double](cfg.numFeatures)
-    dfRows.foreach { r =>
-      val t = r.getLong(0)
-      if (t >= 0) idfArr(t.toInt) = math.log((1.0 + n) / (1.0 + r.getLong(1)))
-    }
+    // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
+    val sorted = dfRows.filter(_.getLong(0) >= 0).sortBy(_.getLong(0))
+    val idfTerms = sorted.map(_.getLong(0))
+    val idfVals = sorted.map(r => math.log((1.0 + n) / (1.0 + r.getLong(1))))
 
     // hot ("stop") shingles: df above threshold → excluded from banding.
     // Bounded dim collect: only rows over the threshold come back.
@@ -155,7 +154,8 @@ object DedupPipeline {
 
     withTf
       .withColumn("minhash", HashFunctions.minhash128(bandShingles))
-      .withColumn("simhash", HashFunctions.simhash64idf(col("tf"), idfArr))
+      .withColumn("simhash",
+        HashFunctions.simhash64idf(col("tf"), idfTerms, idfVals))
       .drop("tf")
   }
 

@@ -73,8 +73,12 @@ object SimHash64 {
     HashKernels.simhash64(ids, ws)
   }
 
-  /** Weighted variant: weight(term) = cnt · idf[term]. */
-  def fromTfWithIdf(entries: ArrayData, idf: Array[Double]): Long = {
+  /** Weighted variant: weight(term) = cnt · idf(term); idf carried as
+    * parallel sorted (termIds, idfs) arrays — sparse, so a 31-term
+    * corpus ships 31 entries, not a dense numFeatures slab (the dense
+    * form serialised 2 MiB into every stage's task binary). */
+  def fromTfWithIdf(entries: ArrayData, terms: Array[Long],
+                    idfs: Array[Double]): Long = {
     val n = entries.numElements()
     val ids = new Array[Long](n)
     val ws = new Array[Double](n)
@@ -83,7 +87,8 @@ object SimHash64 {
       val row = entries.getStruct(i, 2)
       val t = row.getLong(0)
       ids(i) = t
-      ws(i) = row.getInt(1) * (if (t >= 0 && t < idf.length) idf(t.toInt) else 0.0)
+      val k = java.util.Arrays.binarySearch(terms, t)
+      ws(i) = if (k >= 0) row.getInt(1) * idfs(k) else 0.0
       i += 1
     }
     HashKernels.simhash64(ids, ws)
@@ -101,16 +106,18 @@ object SimHash64 {
  * "diagonal matrix never materialised" trick of the reference
  * (`weightings.go:58`), distributed-style.
  */
-case class SimHash64Idf(child: Expression, idf: Array[Double])
+case class SimHash64Idf(child: Expression, terms: Array[Long],
+                        idfs: Array[Double])
   extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    SimHash64.fromTfWithIdf(v.asInstanceOf[ArrayData], idf)
+    SimHash64.fromTfWithIdf(v.asInstanceOf[ArrayData], terms, idfs)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val idfRef = ctx.addReferenceObj("idfArr", idf, "double[]")
+    val tRef = ctx.addReferenceObj("idfTerms", terms, "long[]")
+    val iRef = ctx.addReferenceObj("idfVals", idfs, "double[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.hash.SimHash64.fromTfWithIdf($c, $idfRef)")
+      c => s"graft.hash.SimHash64.fromTfWithIdf($c, $tRef, $iRef)")
   }
   override protected def withNewChildInternal(c: Expression): SimHash64Idf =
     copy(child = c)
@@ -293,8 +300,9 @@ object HashFunctions {
   def minhashK(c: Column, k: Int): Column = col(MinHashK(expr(c), k))
   def minhash128(c: Column): Column = minhashK(c, 128)
   def simhash64(entries: Column): Column = col(SimHash64(expr(entries)))
-  def simhash64idf(tfEntries: Column, idf: Array[Double]): Column =
-    col(SimHash64Idf(expr(tfEntries), idf))
+  def simhash64idf(tfEntries: Column, terms: Array[Long],
+                   idfs: Array[Double]): Column =
+    col(SimHash64Idf(expr(tfEntries), terms, idfs))
   def winnow(text: Column, k: Int, window: Int): Column =
     col(Winnow(expr(text), k, window))
   def hashedTf(tokens: Column, numFeatures: Int): Column =

@@ -18,6 +18,21 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
       "lazy" -> 3, "ran" -> 4))
   }
 
+  test("SQL surface: kernels callable from spark.sql after registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("The quick brown FOX", 1)).toDF("text", "x").createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT golower(text) AS low, murmur3go('hello') AS m,
+        |  size(minhash128(hashed_shingles(split(golower(text), ' '), 2))) AS k,
+        |  size(hashed_tf(split(golower(text), ' '), 260000)) AS nnz
+        |FROM t""".stripMargin).head()
+    assert(row.getString(0) === "the quick brown fox")
+    assert(row.getLong(1) === 613153351L)
+    assert(row.getInt(2) === 128)
+    assert(row.getInt(3) === 4)
+  }
+
   test("incremental index: put / search / remove (lsh.go:75-80, index.go:119-136)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-idx").toString
