@@ -38,7 +38,9 @@ object GraftFunctions {
     "hashed_shingles" -> ((es: Seq[Expression]) =>
       HashedShingles(es.head, intArg(es(1), "hashed_shingles"))),
     "winnow" -> ((es: Seq[Expression]) =>
-      Winnow(es.head, intArg(es(1), "winnow"), intArg(es(2), "winnow"))))
+      Winnow(es.head, intArg(es(1), "winnow"), intArg(es(2), "winnow"))),
+    "random_project" -> ((es: Seq[Expression]) =>
+      RandomProject(es.head, intArg(es(1), "random_project"))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -225,6 +225,18 @@ object SparkEntry {
         e, "vec_id", "embedding", e.filter(col("vec_id") < 50), 5)
     }),
 
+    "q_random_proj" -> ((s, dir) => {
+      // R3 JL projection of the tf-idf-shaped doc vector (rows-only check)
+      val entries = transform(
+        graft.hash.HashFunctions.hashedTf(toks, 1 << 18),
+        e => struct(e.getField("term").as("term"),
+          e.getField("cnt").cast("double").as("weight")))
+      docs(s, dir).select(col("doc_id"),
+        graft.hash.HashFunctions.randomProject(entries, 16).as("proj"))
+        .select(col("doc_id"), size(col("proj")).as("k"),
+          round(Measures.l2norm(col("proj")), 6).as("proj_norm"))
+    }),
+
     "q_multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(
       docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
       "doc_id", "payload").toDF())

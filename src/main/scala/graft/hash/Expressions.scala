@@ -168,6 +168,22 @@ case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpressio
   override def prettyName: String = "winnow"
 }
 
+/** `randomProject(entries, k)` → k-dim dense JL projection
+  * (ArrayType(DoubleType)) of a sparse (term, weight) vector.
+  * Reference: `/root/reference/randomprojection.go:102-154`. */
+case class RandomProject(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.randomProjectArray(v.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.hash.HashKernels.randomProjectArray($c, $k)")
+  override protected def withNewChildInternal(c: Expression): RandomProject =
+    copy(child = c)
+  override def prettyName: String = s"random_project_$k"
+}
+
 /**
  * `pairGen(members)` — per-bucket candidate-pair generator (LSH H3/H4).
  * Input: sorted Array(Struct(skey: Long, id: Long)) — one LSH bucket's
@@ -313,4 +329,6 @@ object HashFunctions {
     col(PairGen(expr(members), maxBucket, chainWidth))
   def filterNotIn(arr: Column, dropSorted: Array[Long]): Column =
     col(FilterNotIn(expr(arr), dropSorted))
+  def randomProject(entries: Column, k: Int): Column =
+    col(RandomProject(expr(entries), k))
 }

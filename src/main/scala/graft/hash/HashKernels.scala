@@ -299,6 +299,59 @@ object HashKernels {
   def simhash64(termIds: Array[Long], weights: Array[Double]): Long =
     simhash(termIds, weights, 64)(0)
 
+  /**
+   * Johnson–Lindenstrauss random projection (SURVEY R6/R3;
+   * `/root/reference/randomprojection.go:102-154`): project a sparse
+   * (termId, weight) vector onto k deterministic Gaussian directions —
+   * the same counter-based hyperplanes SimHash signs, kept unsigned and
+   * scaled 1/√k so pairwise distances are preserved in expectation.
+   * O(1) memory at any input dimensionality (no projection matrix).
+   */
+  def randomProject(termIds: Array[Long], weights: Array[Double],
+                    k: Int): Array[Double] = {
+    val acc = new Array[Double](k)
+    val twoPi = 2.0 * math.Pi
+    var t = 0
+    while (t < termIds.length) {
+      val w = weights(t)
+      if (w != 0.0) {
+        val seed = mix64(termIds(t) ^ 0x51a45ea51a45ea5L)
+        var b = 0
+        var ctr = 0L
+        while (b < k) {
+          val u1 = (mix64(seed + ctr) >>> 11) * 1.1102230246251565e-16
+          val u2 = (mix64(seed + ctr + 1) >>> 11) * 1.1102230246251565e-16
+          ctr += 2
+          val r = math.sqrt(-2.0 * math.log(u1 + 1.1102230246251565e-16))
+          val theta = twoPi * u2
+          acc(b) += w * (r * math.cos(theta))
+          if (b + 1 < k) acc(b + 1) += w * (r * math.sin(theta))
+          b += 2
+        }
+      }
+      t += 1
+    }
+    val scale = 1.0 / math.sqrt(k)
+    var i = 0
+    while (i < k) { acc(i) *= scale; i += 1 }
+    acc
+  }
+
+  /** ArrayData adapter for codegen. */
+  def randomProjectArray(entries: ArrayData, k: Int): ArrayData = {
+    val n = entries.numElements()
+    val ids = new Array[Long](n)
+    val ws = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = entries.getStruct(i, 2)
+      ids(i) = row.getLong(0)
+      ws(i) = row.getDouble(1)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(randomProject(ids, ws, k))
+  }
+
   /** Fraction of equal bit positions between two packed signatures
     * (`/root/reference/comparisons.go:70-92` Hamming similarity). */
   def hammingSim(a: Array[Long], b: Array[Long], bits: Int): Double = {

@@ -123,6 +123,37 @@ class HashKernelsSpec extends AnyFunSuite with SparkSpec {
     assert(c.map(_.toSet).toSeq === d.map(_.toSet).toSeq)
   }
 
+  test("random projection preserves pairwise distance (JL, randomprojection_test.go:95)") {
+    val rnd = new scala.util.Random(3)
+    val dim = 200
+    var total = 0.0
+    val trials = 40
+    (0 until trials).foreach { _ =>
+      val a = Array.fill(dim)(rnd.nextGaussian())
+      val b = Array.fill(dim)(rnd.nextGaussian())
+      val ids = Array.tabulate(dim)(_.toLong)
+      val pa = HashKernels.randomProject(ids, a, 256)
+      val pb = HashKernels.randomProject(ids, b, 256)
+      def dist(x: Array[Double], y: Array[Double]) =
+        math.sqrt(x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum)
+      val ratio = dist(pa, pb) / dist(a, b)
+      total += math.abs(1.0 - ratio)
+    }
+    // reference threshold for RandomProjection similarity drift is 0.05
+    assert(total / trials < 0.06, s"avg distance drift ${total / trials}")
+  }
+
+  test("simhash bits are the signs of the shared JL hyperplane projection") {
+    val rnd = new scala.util.Random(11)
+    val ids = Array.tabulate(40)(_.toLong)
+    val ws = Array.fill(40)(rnd.nextGaussian())
+    val proj = HashKernels.randomProject(ids, ws, 64)
+    val sig = HashKernels.simhash64(ids, ws)
+    (0 until 64).foreach { b =>
+      assert(((sig >>> b) & 1L) === (if (proj(b) >= 0.0) 1L else 0L), s"bit $b")
+    }
+  }
+
   test("expressions evaluate inside a DataFrame plan (codegen path)") {
     import spark.implicits._
     val df = Seq(("hello", Seq(1L, 2L, 3L))).toDF("w", "sh")
