@@ -38,13 +38,14 @@ object ConnectedComponents {
     * web scale the distributed loop takes over automatically. */
   val smallGraphEdges: Long = 4000000L
 
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 20,
+          smallGraphThreshold: Long = smallGraphEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
     val edgeCount = edges.count()
-    if (edgeCount <= smallGraphEdges) return smallGraph(edges)
+    if (edgeCount <= smallGraphThreshold) return smallGraph(edges)
 
     // localCheckpoint (not persist): the incoming edge list carries the
     // whole upstream pipeline as its logical plan, and an iterative loop

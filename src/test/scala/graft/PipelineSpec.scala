@@ -10,12 +10,37 @@ import graft.ckpt.ParquetStageStore
 
 class PipelineSpec extends AnyFunSuite with SparkSpec {
 
-  test("connected components: min-label per component") {
+  test("connected components: min-label per component (both execution paths)") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L)).toDF("a", "b")
-    val got = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
-    assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L && got(5L) === 1L)
-    assert(got(10L) === 10L && got(11L) === 10L)
+    // union-find fast path and the distributed pointer-jumping loop must
+    // produce identical labels
+    Seq(Long.MaxValue, 0L).foreach { threshold =>
+      val got = ConnectedComponents.run(edges, smallGraphThreshold = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got(1L) === 1L && got(2L) === 1L && got(3L) === 1L && got(5L) === 1L,
+        s"threshold $threshold")
+      assert(got(10L) === 10L && got(11L) === 10L, s"threshold $threshold")
+    }
+    // long path graph: pointer jumping must converge within maxIter
+    val path = (0 until 400).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val labels = ConnectedComponents.run(path, smallGraphThreshold = 0L)
+      .as[(Long, Long)].collect()
+    assert(labels.forall(_._2 == 0L), "single component, min label 0")
+  }
+
+  test("hot bucket: chain pairing keeps every member connected") {
+    import spark.implicits._
+    // one bucket with 500 members, far above maxBucket=64
+    val buckets = (0 until 500)
+      .map(i => (1000L + i, 0, 7L, (i % 13).toLong)) // skey mixes order
+      .toDF("doc_id", "band", "key", "skey")
+    val pairs = graft.lsh.Lsh.candidatePairs(buckets, "doc_id", 64, 3)
+    val labels = ConnectedComponents.run(pairs)
+      .select("comp").distinct().count()
+    assert(labels === 1L, "chain pairs must keep the capped bucket connected")
+    // and fan-out stays O(n·chainWidth), not O(n²)
+    assert(pairs.count() <= 500L * 3)
   }
 
   test("suffix array finds planted substring pair") {
