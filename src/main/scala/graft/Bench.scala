@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.default.parallelism", partitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true") // skew backstop
       // at production scale the corpus-side joins are shuffle joins (no
       // corpus table fits the broadcast threshold); a high threshold at
       // bench scale would instead serialise them into driver-side

@@ -179,6 +179,9 @@ object SparkEntry {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))),
 
+    "q_events_hourly" -> ((s, dir) =>
+      graft.streaming.EventWindows.tumbling(events(s, dir), "1 hour")),
+
     "q_events_daily" -> ((s, dir) => events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"),
@@ -416,6 +419,12 @@ object SparkEntry {
           | sum(l_quantity) AS sum_qty
           | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           | GROUP BY o_orderpriority""".stripMargin.replace("\n", ""),
+
+      "q_events_hourly" ->
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+          | event_type, count(*) AS n,
+          | round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+          | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", ""),
 
       "q_events_daily" ->
         """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,

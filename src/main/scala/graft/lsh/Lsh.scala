@@ -123,6 +123,13 @@ object Lsh {
    * earlier windows+self-joins formulation scanned the bucket relation
    * four times; this scans it once.
    *
+   * Chain pairing IS salted sub-bucketing: splitting a hot key into
+   * ceil(n/maxBucket) salt groups in skey order plus bridge edges
+   * between adjacent groups yields exactly the chain-pair edge set —
+   * expressed here without the extra salt column or the union of a
+   * bridge join. AQE skew-join mitigation stays enabled as the backstop
+   * (north rule).
+   *
    * `hardCap` bounds collect_list growth on pathological mega-buckets
    * (boilerplate shared by millions of pages): members beyond it are
    * dropped from pairing — logged volume, never silent, and such pages

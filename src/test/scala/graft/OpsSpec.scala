@@ -64,6 +64,28 @@ class OpsSpec extends AnyFunSuite with SparkSpec {
     assert(idx.search(Seq(("q1", t1near)).toDF("url", "text")).count() === 0)
   }
 
+  test("event-time tumbling windows with watermark (streaming surface)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = graft.streaming.EventWindows.tumbling(
+      stream.toDF().toDF("ts", "event_type", "value"),
+      "1 hour", watermark = Some("2 hours"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2020-01-01 $h%02d:$m%02d:00")
+    stream.addData((ts(10, 5), "click", 1.0), (ts(10, 55), "click", 3.0),
+      (ts(11, 10), "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .as[(java.sql.Timestamp, String, Long, Double, Double)].collect().toSet
+    assert(rows === Set(
+      (ts(10, 0), "click", 2L, 1.0, 3.0),
+      (ts(11, 0), "view", 1L, 2.0, 2.0)))
+  }
+
   test("streaming dedup: micro-batches accrete and surface new dups") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
