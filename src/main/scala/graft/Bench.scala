@@ -83,12 +83,21 @@ object Bench {
     def parts(c: Int) = c
     val spark = session(cpus4N, parts(cpus4N))
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     try {
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case _: Throwable => () }
-        queryTimes(name) = (System.nanoTime() - t0) / 1e9
+        // a failed query must NOT masquerade as a fast one: record -1
+        // plus the error so broken queries can't inflate the bench
+        try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          queryTimes(name) = (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            queryTimes(name) = -1.0
+            queryErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+        }
       }
     } finally spark.stop()
 
@@ -109,11 +118,13 @@ object Bench {
 
     val qs = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = queryTimes.values.sum + sec4N
+    val errs = queryErrors.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val total = queryTimes.values.filter(_ >= 0).sum + sec4N
     println(
       s"""{"metric":"dedup_docs_per_sec","value":${"%.1f".format(thr4N)},""" +
       s""""unit":"docs/sec","total_sec":${"%.2f".format(total)},""" +
-      s""""queries":$qs,"sf":"$sfDir",""" +
+      s""""queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
       s""""dedup":{"docs":$docs4N,""" +
       s""""cores_n":$cpusN,"sec_n":${"%.2f".format(secN)},""" +
       s""""thr_n":${"%.1f".format(thrN)},""" +

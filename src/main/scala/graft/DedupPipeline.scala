@@ -56,11 +56,15 @@ case class DedupConfig(
  * join (salt-capped) → exact verify (Jaccard/Hamming) → connected
  * components [+ suffix-array substring pass] → (url, cluster).
  *
- * Scale shape (10^12 docs): the only corpus-sized shuffles are
+ * Scale shape (10^12 docs): the corpus-sized shuffles are
  *  (1) exact-dup grouping on md5(norm_text),
- *  (2) the band-bucket exchange (the distributed LSH hash table),
- *  (3) tf-idf regroup.
- * Everything upstream is per-row codegen'd expression work; the verify
+ *  (2) the explicit CPU repartition before the signature kernels,
+ *  (3) the corpus-stats df aggregation (one explode pass, map-side
+ *      partial agg; yields idf + doc count + hot-shingle list together),
+ *  (4) the band-bucket exchange (the distributed LSH hash table),
+ *  (5) the winnow-anchor exchange of the substring pass (if enabled).
+ * All are linear in corpus size with map-side combine where applicable.
+ * Everything else is per-row codegen'd expression work; the verify
  * join and CC loop run on candidate pairs, which LSH keeps ≪ n².
  * Exact duplicates are collapsed to one representative *before* LSH, so
  * boilerplate mirror pages (the dominant web dup class) never reach the
@@ -100,63 +104,87 @@ object DedupPipeline {
     (edges, reps)
   }
 
+  /** Fitted corpus statistics driving the signature stage: doc count,
+    * sparse sorted idf arrays, and the df-conditioned hot-shingle drop
+    * list. Persisting these alongside an incremental index makes
+    * signatures batch-INdependent: a later batch signed with the same
+    * stats produces the same band keys for the same text (the
+    * incremental-search correctness requirement). */
+  case class CorpusStats(n: Long, idfTerms: Array[Long],
+                         idfVals: Array[Double], hotShingles: Array[Long])
+
+  /** Adds the hashed-tf column, declaring CPU parallelism explicitly:
+    * upstream AQE coalesces the (tiny-bytes) exact-dedup shuffle to few
+    * partitions, which would serialise the CPU-heavy signature work —
+    * bytes are not proportional to CPU here. */
+  def withTf(reps: DataFrame, cfg: DedupConfig): DataFrame =
+    reps.repartition(reps.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("tf", HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
+
+  /**
+   * Fit [[CorpusStats]] in ONE job / one corpus pass: term df, doc count
+   * and shingle df ride the same explode → (kind, id) hash aggregation.
+   *  - kind 0, id −1: the doc-count sentinel (n)
+   *  - kind 0, id ≥ 0: term document frequency → idf
+   *  - kind 1: shingle document frequency, pre-filtered to
+   *    df > hotShingleMinDf map-side of the collect (the full
+   *    frac·n threshold needs n, so it is applied driver-side on the
+   *    already-tiny survivor set)
+   * The result is a bounded dim table (≤ numFeatures + hot survivors) —
+   * the reference's "never materialise the diagonal" IDF trick
+   * (`/root/reference/weightings.go:58`), distributed-style. Previously
+   * two separate jobs (idf agg + hot-shingle agg), each a full corpus
+   * pass; merged to cut the fixed per-job scheduling floor (the N→4N
+   * scaling-efficiency driver).
+   */
+  def fitCorpusStats(tfd: DataFrame, cfg: DedupConfig): CorpusStats = {
+    val rows = tfd
+      .select(explode(HashFunctions.statsEntries(
+        col("tf"), col("shingles"))).as("e"))
+      .groupBy(col("e.kind").as("kind"), col("e.id").as("id"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("kind") === 0 || col("df") > cfg.hotShingleMinDf)
+      .collect()
+    var n = 0L
+    rows.foreach { r => if (r.getInt(0) == 0 && r.getLong(1) == -1L) n = r.getLong(2) }
+    // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
+    val terms = rows.filter(r => r.getInt(0) == 0 && r.getLong(1) >= 0)
+      .sortBy(_.getLong(1))
+    val idfTerms = terms.map(_.getLong(1))
+    val idfVals = terms.map(r => math.log((1.0 + n) / (1.0 + r.getLong(2))))
+    val dfThreshold = math.max(cfg.hotShingleMinDf.toLong,
+      (cfg.hotShingleDfFrac * n).toLong)
+    var hot = rows.filter(r => r.getInt(0) == 1 && r.getLong(2) > dfThreshold)
+    if (hot.length > cfg.hotShingleCap) {
+      System.err.println( // no silent caps: dropped volume must be visible
+        s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} of " +
+          s"${hot.length} over-threshold shingles (keeping the hottest)")
+      hot = hot.sortBy(-_.getLong(2)).take(cfg.hotShingleCap)
+    }
+    CorpusStats(n, idfTerms, idfVals, hot.map(_.getLong(1)).sorted)
+  }
+
+  /** Apply fitted stats: MinHash128 over the (df-conditioned) shingle
+    * set; SimHash64 over the tf-idf-weighted hashed term vector. */
+  def applySignatures(tfd: DataFrame, stats: CorpusStats,
+                      cfg: DedupConfig): DataFrame = {
+    val bandShingles =
+      if (stats.hotShingles.isEmpty) col("shingles")
+      else HashFunctions.filterNotIn(col("shingles"), stats.hotShingles)
+    tfd
+      .withColumn("minhash", HashFunctions.minhash128(bandShingles))
+      .withColumn("simhash",
+        HashFunctions.simhash64idf(col("tf"), stats.idfTerms, stats.idfVals))
+      .drop("tf")
+  }
+
   /** Stage 2b — signatures over representatives: MinHash128 over the
     * shingle set; SimHash64 over the tf-idf–weighted hashed term vector
     * (reference pipeline: TF-IDF → sign random projection,
     * `/root/reference/example_test.go:30-45` + `hashing.go:49-62`). */
   def signatures(reps: DataFrame, cfg: DedupConfig): DataFrame = {
-    // repartition by CPU: upstream AQE coalesces the (tiny-bytes) exact-
-    // dedup shuffle to few partitions, which would serialise the CPU-
-    // heavy signature computation — bytes are not proportional to CPU
-    // here, so parallelism is declared explicitly.
-    val spark = reps.sparkSession
-    val withTf = reps
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("tf",
-        HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
-
-    // df aggregation with a sentinel term (-1) folded in per doc, so ONE
-    // corpus pass yields both df(t) and n (= df(-1)); the result is a
-    // bounded dim table (≤ numFeatures rows) collected into a dense idf
-    // array and shipped as a reference object — the reference's "never
-    // materialise the diagonal" IDF trick (`weightings.go:58`),
-    // replacing an explode → join → regroup (2 corpus shuffles).
-    val dfRows = withTf
-      .select(explode(concat(col("tf"),
-        array(struct(lit(-1L).as("term"), lit(1).as("cnt"))))).as("e"))
-      .groupBy(col("e.term").as("term"))
-      .agg(count(lit(1)).as("df"))
-      .collect()
-    var n = 0L
-    dfRows.foreach { r => if (r.getLong(0) == -1L) n = r.getLong(1) }
-    // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
-    val sorted = dfRows.filter(_.getLong(0) >= 0).sortBy(_.getLong(0))
-    val idfTerms = sorted.map(_.getLong(0))
-    val idfVals = sorted.map(r => math.log((1.0 + n) / (1.0 + r.getLong(1))))
-
-    // hot ("stop") shingles: df above threshold → excluded from banding.
-    // Bounded dim collect: only rows over the threshold come back.
-    val dfThreshold = math.max(cfg.hotShingleMinDf,
-      (cfg.hotShingleDfFrac * n).toLong)
-    val hotRows = withTf
-      .select(explode(col("shingles")).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfThreshold)
-      .orderBy(col("df").desc)
-      .limit(cfg.hotShingleCap)
-      .select("sh").collect().map(_.getLong(0)).sorted
-    if (hotRows.length >= cfg.hotShingleCap)
-      System.err.println( // no silent caps: dropped volume must be visible
-        s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} entries")
-    val bandShingles =
-      if (hotRows.isEmpty) col("shingles")
-      else HashFunctions.filterNotIn(col("shingles"), hotRows)
-
-    withTf
-      .withColumn("minhash", HashFunctions.minhash128(bandShingles))
-      .withColumn("simhash",
-        HashFunctions.simhash64idf(col("tf"), idfTerms, idfVals))
-      .drop("tf")
+    val tfd = withTf(reps, cfg)
+    applySignatures(tfd, fitCorpusStats(tfd, cfg), cfg)
   }
 
   /** Stage 3 — LSH candidate pairs over representatives. */

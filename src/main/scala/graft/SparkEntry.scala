@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.data.{SyntheticPages, SyntheticVectors}
+import graft.hash.HashFunctions
 import graft.ops.{Multimodal, TrainingDataOps}
+import graft.text.TextKernel
 import graft.verify.Measures
 
 /**
@@ -43,6 +46,26 @@ object SparkEntry {
   private def docsAsPages(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       concat(lit("doc://"), col("doc_id")).as("url"), col("text"))
+
+  /** Pinned kernel-fixture corpus (the reference's train set,
+    * `/root/reference/vectorisers_test.go:11-27`) — inputs for the
+    * golden-signature queries, whose oracles are literal tables. */
+  private def fixturePages(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      "fix:0" -> "The quick brown fox jumped over the. Lazy dog",
+      "fix:1" -> "the brown Cat sat on the mat",
+      "fix:2" -> "the little dog laughed to see such fun",
+      "fix:3" -> "laughing cow",
+      "fix:4" -> "the cow ran around the dog",
+      "fix:5" -> "spoon dish and plate").toDF("url", "text")
+  }
+
+  /** Synthetic pages + construction-truth pairs for the e2e coverage
+    * queries (deterministic; 300 base docs → 15 exact / 15 near / 6
+    * substr planted pairs — the recall fixture of PipelineSpec). */
+  private def syntheticTruth(s: SparkSession): (DataFrame, DataFrame) =
+    SyntheticPages.generate(s, 300)
 
   /** Flagship: full dedup pipeline on sf0.001 documents. */
   def entry(spark: SparkSession): DataFrame =
@@ -188,61 +211,118 @@ object SparkEntry {
         round(min(col("value")), 6).as("min_v"),
         round(max(col("value")), 6).as("max_v"))),
 
-    // ---- non-SQL-expressible ops: rows-only checks ----
+    // ---- hash kernels: golden signatures over the pinned fixture
+    // corpus (deterministic counter-based randomness → bit-stable across
+    // runs/machines; oracles are literal tables) ----
     "q_minhash_sig" -> ((s, dir) => {
-      val ext = DedupPipeline.extract(docsAsPages(s, dir), DedupConfig())
+      val ext = DedupPipeline.extract(fixturePages(s), DedupConfig())
       ext.select(col("url"),
-        graft.hash.HashFunctions.minhash128(col("shingles")).as("sig"))
-        .select(col("url"), size(col("sig")).as("sig_len"),
-          element_at(col("sig"), 1).as("sig0"))
+        HashFunctions.minhash128(col("shingles")).as("sig"))
+        .select(col("url"),
+          element_at(col("sig"), 1).as("sig_first"),
+          element_at(col("sig"), 128).as("sig_last"),
+          md5(concat_ws(",",
+            transform(col("sig"), x => x.cast("string")))).as("sig_md5"))
     }),
 
     "q_simhash" -> ((s, dir) => {
-      val pipelineCfg = DedupConfig()
-      val (_, reps) = DedupPipeline.exactDedup(
-        DedupPipeline.extract(docsAsPages(s, dir), pipelineCfg))
-      DedupPipeline.signatures(reps, pipelineCfg)
-        .select(col("url"), col("simhash"))
-    }),
-
-    "q_lsh_candidates" -> ((s, dir) => {
       val cfg = DedupConfig()
       val (_, reps) = DedupPipeline.exactDedup(
-        DedupPipeline.extract(docsAsPages(s, dir), cfg))
-      DedupPipeline.candidates(DedupPipeline.signatures(reps, cfg), cfg)
-    }),
-
-    "q_dedup_clusters" -> ((s, dir) =>
-      DedupPipeline.run(docsAsPages(s, dir), DedupConfig())),
-
-    "q_substr_pairs" -> ((s, dir) => {
-      val cfg = DedupConfig()
-      val ext = DedupPipeline.extract(docsAsPages(s, dir), cfg)
-      graft.substr.SuffixArrayStage.substringEdges(
-        ext, "doc_id", "norm", cfg.substrMinRun)
-    }),
-
-    "q_ann_lsh" -> ((s, dir) => {
-      val e = embeddings(s, dir)
-      TrainingDataOps.lshTopK(
-        e, "vec_id", "embedding", e.filter(col("vec_id") < 50), 5)
+        DedupPipeline.extract(fixturePages(s), cfg))
+      DedupPipeline.signatures(reps, cfg).select(col("url"), col("simhash"))
     }),
 
     "q_random_proj" -> ((s, dir) => {
-      // R3 JL projection of the tf-idf-shaped doc vector (rows-only check)
+      // R3 JL projection of the hashed-tf doc vector, k=4 (golden)
       val entries = transform(
-        graft.hash.HashFunctions.hashedTf(toks, 1 << 18),
+        HashFunctions.hashedTf(
+          TextKernel.tokenize(col("text")), 1 << 18),
         e => struct(e.getField("term").as("term"),
           e.getField("cnt").cast("double").as("weight")))
-      docs(s, dir).select(col("doc_id"),
-        graft.hash.HashFunctions.randomProject(entries, 16).as("proj"))
-        .select(col("doc_id"), size(col("proj")).as("k"),
-          round(Measures.l2norm(col("proj")), 6).as("proj_norm"))
+      fixturePages(s)
+        .select(col("url"), HashFunctions.randomProject(entries, 4).as("p"))
+        .select(col("url"),
+          round(element_at(col("p"), 1), 6).as("p1"),
+          round(element_at(col("p"), 2), 6).as("p2"),
+          round(element_at(col("p"), 3), 6).as("p3"),
+          round(element_at(col("p"), 4), 6).as("p4"))
     }),
 
+    // ---- e2e coverage gates: construction-truth pairs from the
+    // deterministic synthetic generator; the oracle states what MUST be
+    // found (recall 1.0 at this config, the north-rule fixture) and is
+    // derived from the generator's url scheme, not from this pipeline ----
+    "q_dedup_clusters" -> ((s, dir) => {
+      val (pages, truth) = syntheticTruth(s)
+      val labels = DedupPipeline.run(pages, DedupConfig())
+      val la = labels.select(col("url").as("urlA"), col("cluster").as("ca"))
+      val lb = labels.select(col("url").as("urlB"), col("cluster").as("cb"))
+      truth.join(la, "urlA").join(lb, "urlB")
+        .select(col("urlA").as("url_a"), col("urlB").as("url_b"), col("kind"),
+          (col("ca") === col("cb")).as("found"))
+    }),
+
+    // LSH banding CONTRACT per planted near pair: any pair with exact
+    // shingle-Jaccard ≥ τ MUST surface as a candidate (32 bands × 4 rows
+    // → miss prob (1−τ⁴)³² ≈ 3e-30 at τ=0.8); pairs edited below τ are
+    // vacuously ok — they are the substring stage's job, as the
+    // q_dedup_clusters gate shows
+    "q_lsh_candidates" -> ((s, dir) => {
+      val cfg = DedupConfig()
+      val (pages, truth) = syntheticTruth(s)
+      val ext = DedupPipeline.extract(pages, cfg)
+      val (_, reps) = DedupPipeline.exactDedup(ext)
+      val cands = DedupPipeline.candidates(
+        DedupPipeline.signatures(reps, cfg), cfg)
+      val ids = ext.select(col("url"), col("doc_id"), col("shingles"))
+      truth.filter(col("kind") === "near")
+        .join(ids.toDF("urlA", "ida", "sha"), "urlA")
+        .join(ids.toDF("urlB", "idb", "shb"), "urlB")
+        .withColumn("a", least(col("ida"), col("idb")))
+        .withColumn("b", greatest(col("ida"), col("idb")))
+        .join(cands.withColumn("hit", lit(true)), Seq("a", "b"), "left")
+        .select(col("urlA").as("url_a"), col("urlB").as("url_b"),
+          (coalesce(col("hit"), lit(false)) ||
+            Measures.jaccard(col("sha"), col("shb")) < cfg.tau)
+            .as("contract_ok"))
+    }),
+
+    "q_substr_pairs" -> ((s, dir) => {
+      val cfg = DedupConfig()
+      val (pages, truth) = syntheticTruth(s)
+      val ext = DedupPipeline.extract(pages, cfg)
+      val edges = graft.substr.SuffixArrayStage.substringEdges(
+        ext, "doc_id", "norm", cfg.substrMinRun)
+      val ids = ext.select(col("url"), col("doc_id"))
+      truth.filter(col("kind") === "substr")
+        .join(ids.toDF("urlA", "ida"), "urlA")
+        .join(ids.toDF("urlB", "idb"), "urlB")
+        .withColumn("a", least(col("ida"), col("idb")))
+        .withColumn("b", greatest(col("ida"), col("idb")))
+        .join(edges.distinct().withColumn("hit", lit(true)), Seq("a", "b"), "left")
+        .select(col("urlA").as("url_a"), col("urlB").as("url_b"),
+          coalesce(col("hit"), lit(false)).as("found"))
+    }),
+
+    // ---- ANN-LSH over planted partner pairs (true nearest neighbor of
+    // id i is i XOR 1 by construction → generate_series oracle) ----
+    "q_ann_lsh" -> ((s, dir) => {
+      val vecs = SyntheticVectors.generate(s, 50)
+      TrainingDataOps.lshTopK(vecs, "vec_id", "embedding", vecs, 1)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // scalar face of the batched decode (feature arrays are unhashable
+    // for the driver's pandas compare; the array plumbing is covered by
+    // MultimodalSpec) — byte stats are exact-int/rounded so the DuckDB
+    // oracle can reproduce them from the text bytes
     "q_multimodal_features" -> ((s, dir) => Multimodal.extractFeatures(
       docs(s, dir).withColumn("payload", encode(col("text"), "UTF-8")),
-      "doc_id", "payload").toDF())
+      "doc_id", "payload").toDF()
+      .select(col("docId").as("doc_id"), col("byteLen").as("byte_len"),
+        col("byteSum").as("byte_sum"),
+        round(col("entropy"), 6).as("entropy"),
+        size(col("feature")).as("feat_dim")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -385,6 +465,21 @@ object SparkEntry {
            |  ELSE 'fr' END AS lang_guess FROM s"""
           .stripMargin.replace("\n", ""),
 
+      "q_multimodal_features" ->
+        // text is pure ASCII [a-z0-9 ] (checked), so UTF-8 bytes == chars:
+        // byte stats from per-char code points; entropy term order matches
+        // the Scala histogram loop (ascending byte value) via list_sort
+        """WITH c AS (SELECT doc_id, regexp_extract_all(text, '.') AS chars,
+          |   octet_length(encode(text)) AS blen FROM documents)
+          | SELECT doc_id, blen AS byte_len,
+          |  list_sum(list_transform(chars, x -> unicode(x)))::BIGINT AS byte_sum,
+          |  round(-list_sum(list_transform(list_sort(list_distinct(chars)),
+          |    d -> (len(list_filter(chars, x -> x = d))::DOUBLE / blen)
+          |       * ln(len(list_filter(chars, x -> x = d))::DOUBLE / blen))), 6)
+          |    AS entropy,
+          |  8 AS feat_dim
+          | FROM c""".stripMargin.replace("\n", ""),
+
       "q_multimodal_meta" ->
         // DuckDB md5 takes VARCHAR only; payload is the UTF-8 of text,
         // so md5(text) hashes the identical bytes
@@ -430,7 +525,53 @@ object SparkEntry {
         """SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
           | round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
           | FROM events GROUP BY event_type, date_trunc('day', ts)"""
+          .stripMargin.replace("\n", ""),
+
+      // ---- construction-truth oracles: what the pipeline MUST find,
+      // expressed from the synthetic generator's url scheme (every
+      // planted pair must co-cluster / be covered — recall 1.0) ----
+      "q_dedup_clusters" ->
+        """SELECT 'https://www.site'||j||'.example/p/'||j AS url_a,
+          |  'https://www.site'||j||'.example/p/dupx'||j AS url_b,
+          |  'exact' AS kind, true AS found FROM generate_series(0,14) t(j)
+          | UNION ALL
+          | SELECT 'https://www.site'||(15+j)||'.example/p/'||(15+j),
+          |  'https://www.site'||j||'.example/p/dupn'||j, 'near', true
+          |  FROM generate_series(0,14) t(j)
+          | UNION ALL
+          | SELECT 'https://www.site'||(30+j)||'.example/p/'||(30+j),
+          |  'https://www.site'||j||'.example/p/dups'||j, 'substr', true
+          |  FROM generate_series(0,5) t(j)""".stripMargin.replace("\n", ""),
+
+      "q_lsh_candidates" ->
+        """SELECT 'https://www.site'||(15+j)||'.example/p/'||(15+j) AS url_a,
+          | 'https://www.site'||j||'.example/p/dupn'||j AS url_b,
+          | true AS contract_ok FROM generate_series(0,14) t(j)"""
+          .stripMargin.replace("\n", ""),
+
+      "q_substr_pairs" ->
+        """SELECT 'https://www.site'||(30+j)||'.example/p/'||(30+j) AS url_a,
+          | 'https://www.site'||j||'.example/p/dups'||j AS url_b,
+          | true AS found FROM generate_series(0,5) t(j)"""
+          .stripMargin.replace("\n", ""),
+
+      // planted-partner ANN: true nearest neighbor of i is i XOR 1
+      "q_ann_lsh" ->
+        """SELECT i::BIGINT AS query_id,
+          | (CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END)::BIGINT AS neighbor_id,
+          | 1 AS rank FROM generate_series(0, 99) t(i)"""
           .stripMargin.replace("\n", "")
-    )
+    ) ++ goldenOracles
   }
+
+  /** Literal-table oracles for the deterministic hash-kernel queries
+    * over the pinned fixture corpus. The values are goldens: computed
+    * once from the counter-based kernels (bit-reproducible across
+    * machines — no RNG state), then pinned here so the driver detects
+    * any regression or nondeterminism. */
+  private def goldenOracles: Map[String, String] = Map(
+    "q_minhash_sig" -> GoldenFixtures.minhashSigSql,
+    "q_simhash" -> GoldenFixtures.simhashSql,
+    "q_random_proj" -> GoldenFixtures.randomProjSql
+  )
 }

@@ -38,6 +38,13 @@ object ConnectedComponents {
     * web scale the distributed loop takes over automatically. */
   val smallGraphEdges: Long = 4000000L
 
+  /** Thrown when label propagation hits maxIter without a fixpoint —
+    * returning the partial labels silently would hand wrong clusters
+    * downstream with no signal. */
+  class NonConvergence(iters: Int) extends IllegalStateException(
+    s"connected components did not converge in $iters iterations; " +
+      "raise maxIter (diameter/log2 bound) or check for degenerate input")
+
   def run(edges: DataFrame, maxIter: Int = 20,
           smallGraphThreshold: Long = smallGraphEdges): DataFrame = {
     val spark = edges.sparkSession
@@ -88,6 +95,7 @@ object ConnectedComponents {
       pot = nextPot
       iter += 1
     }
+    if (!converged) throw new NonConvergence(maxIter)
     labels
   }
 

@@ -216,24 +216,18 @@ object PairGen {
     val n = members.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     // sort by (skey, id) with primitive longs — a sort_array over the
-    // struct array upstream runs a boxing Ordering comparator that
-    // stack-sampling showed dominating skewed-bucket reducers
-    val keyed = new Array[Long](n * 2)
+    // struct array upstream (or a boxed comparator here) runs a boxing
+    // Ordering that stack-sampling showed dominating skewed-bucket
+    // reducers
+    val skeys = new Array[Long](n)
+    val ids = new Array[Long](n)
     var i = 0
     while (i < n) {
       val r = members.getStruct(i, 2)
-      keyed(2 * i) = r.getLong(0); keyed(2 * i + 1) = r.getLong(1)
+      skeys(i) = r.getLong(0); ids(i) = r.getLong(1)
       i += 1
     }
-    val order = Array.tabulate(n)(identity)
-    val boxedOrder = order.map(Integer.valueOf)
-    java.util.Arrays.sort(boxedOrder, (x: Integer, y: Integer) => {
-      val c = java.lang.Long.compare(keyed(2 * x), keyed(2 * y))
-      if (c != 0) c else java.lang.Long.compare(keyed(2 * x + 1), keyed(2 * y + 1))
-    })
-    val ids = new Array[Long](n)
-    i = 0
-    while (i < n) { ids(i) = keyed(2 * boxedOrder(i) + 1); i += 1 }
+    HashKernels.sortByKeyThenVal(skeys, ids)
     val out = new scala.collection.mutable.ArrayBuffer[Any](
       if (n <= maxBucket) n * (n - 1) / 2 else n * chainWidth)
     if (n <= maxBucket) {
@@ -275,6 +269,11 @@ object PairGen {
  * control the north rule's salting requirement is about, applied at
  * the source. Verification still uses the FULL shingle sets, so
  * recall is measured against unmodified Jaccard.
+ *
+ * If filtering would remove EVERY element, the input is returned
+ * unchanged: an all-boilerplate doc would otherwise get the empty-input
+ * MinHash signature, identical across all such docs — recreating in one
+ * mega-bucket exactly the skew this filter exists to prevent.
  */
 case class FilterNotIn(child: Expression, dropSorted: Array[Long])
   extends UnaryExpression {
@@ -302,9 +301,31 @@ object FilterNotIn {
       if (java.util.Arrays.binarySearch(dropSorted, v) < 0) { out(k) = v; k += 1 }
       i += 1
     }
+    if (k == 0) return arr // all-hot doc: keep full set (see scaladoc)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
       .fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
   }
+}
+
+/** `statsEntries(tf, shingles)` → Array(Struct(kind: Int, id: Long)):
+  * the combined per-doc entry list for the single-job corpus-stats
+  * aggregation (term df + doc-count sentinel + shingle df in one
+  * shuffle). Codegen'd so the stats pass stays in whole-stage codegen. */
+case class StatsEntries(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("kind", IntegerType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(tf: Any, sh: Any): Any =
+    HashKernels.statsEntries(tf.asInstanceOf[ArrayData], sh.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.hash.HashKernels.statsEntries($t, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StatsEntries =
+    copy(left = l, right = r)
+  override def prettyName: String = "stats_entries"
 }
 
 /** Column-level API. */
@@ -329,6 +350,8 @@ object HashFunctions {
     col(PairGen(expr(members), maxBucket, chainWidth))
   def filterNotIn(arr: Column, dropSorted: Array[Long]): Column =
     col(FilterNotIn(expr(arr), dropSorted))
+  def statsEntries(tf: Column, shingles: Column): Column =
+    col(StatsEntries(expr(tf), expr(shingles)))
   def randomProject(entries: Column, k: Int): Column =
     col(RandomProject(expr(entries), k))
 }

@@ -3,15 +3,24 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{DedupConfig, DedupPipeline}
+import graft.DedupPipeline.CorpusStats
 
 /**
  * Incremental signature index (SURVEY §2.1 S3 — the reference's
  * `Index`/`Remove` mutations, `/root/reference/lsh.go:75-80`,
  * `index.go:119-136`, and the `PartialFit` accretion pattern,
  * `randomprojection.go:253-270`): a partitioned Parquet signature table
- * that supports batch insert (append), delete (anti-join rewrite), and
+ * that supports batch insert (append), delete (atomic rewrite), and
  * querying new documents against the existing index without
  * re-signaturing the whole corpus.
+ *
+ * Corpus stats (idf arrays + hot-shingle drop list) are FITTED ON THE
+ * FIRST PUT and persisted alongside the index; every later put and
+ * every search reuses them. Signatures are therefore batch-independent:
+ * identical text always produces identical band keys, no matter which
+ * batch it arrived in — the incremental-search correctness requirement
+ * (per-batch stats would silently miss true duplicates whenever the
+ * batches' df-conditioned drop lists diverged).
  *
  * Scale shape: an insert touches only the new batch (signatures are
  * per-row); a search shuffles the new batch's band keys against the
@@ -22,38 +31,92 @@ class IncrementalIndex(spark: SparkSession, path: String,
                        cfg: DedupConfig = DedupConfig()) {
 
   private def sigPath = s"$path/sigs"
+  private def statsPath = s"$path/stats"
 
   def isEmpty: Boolean = !new java.io.File(sigPath).exists()
 
-  /** Signature a batch of pages (url, text) — reuses the pipeline's
-    * extraction + signature stages. */
+  private def loadStats(): Option[CorpusStats] =
+    if (!new java.io.File(statsPath).exists()) None
+    else {
+      val r = spark.read.parquet(statsPath).head()
+      Some(CorpusStats(r.getLong(0),
+        r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray,
+        r.getSeq[Long](3).toArray))
+    }
+
+  private def saveStats(st: CorpusStats): Unit = {
+    import spark.implicits._
+    Seq((st.n, st.idfTerms.toSeq, st.idfVals.toSeq, st.hotShingles.toSeq))
+      .toDF("n", "idf_terms", "idf_vals", "hot_shingles")
+      .write.mode("overwrite").parquet(statsPath)
+  }
+
+  /** Signature a batch of pages (url, text) with the PERSISTED corpus
+    * stats (fitted and saved on the first call). */
   private def signatures(pages: DataFrame): DataFrame = {
     val ext = DedupPipeline.extract(pages, cfg)
-    DedupPipeline.signatures(ext, cfg)
+    val tfd = DedupPipeline.withTf(ext, cfg)
+    val stats = loadStats().getOrElse {
+      val st = DedupPipeline.fitCorpusStats(tfd, cfg)
+      saveStats(st)
+      st
+    }
+    DedupPipeline.applySignatures(tfd, stats, cfg)
       .select(col("url"), col("doc_id"), col("minhash"), col("simhash"),
         col("shingles"))
   }
 
-  /** Append a batch to the index (reference `Index(v, id)`). */
-  def put(pages: DataFrame): Unit =
-    signatures(pages).write.mode("append").parquet(sigPath)
+  /** Append a batch to the index (reference `Index(v, id)`). Each put
+    * lands in its own `batch=<id>` partition directory. */
+  def put(pages: DataFrame): Unit = putBatch(pages, nextBatchId())
+
+  /** Idempotent per-batch insert: writing batch `id` twice (streaming
+    * replay after a failure — foreachBatch is at-least-once) overwrites
+    * the same partition directory instead of duplicating rows. */
+  def putBatch(pages: DataFrame, batchId: Long): Unit =
+    signatures(pages).write.mode("overwrite")
+      .parquet(s"$sigPath/batch=$batchId")
+
+  private def nextBatchId(): Long = {
+    val d = new java.io.File(sigPath)
+    val kids = d.listFiles()
+    if (kids == null) 0L
+    else kids.filter(_.getName.startsWith("batch=")).map(
+      _.getName.stripPrefix("batch=").toLong) match {
+      case a if a.isEmpty => 0L
+      case a => a.max + 1L
+    }
+  }
 
   /** Remove documents by url (reference `Remove(id)`): anti-join
-    * rewrite — the Parquet emulation of `MERGE ... THEN DELETE`. */
+    * rewrite into a TEMP directory, then an atomic directory swap —
+    * the read source is never the write target, so cache eviction or a
+    * mid-write crash cannot destroy the index (overwrite-in-place was
+    * the round-1 hazard). On HDFS/object stores this maps to a rename
+    * commit / Iceberg snapshot swap. */
   def remove(urls: DataFrame): Unit = {
-    val keep = spark.read.parquet(sigPath)
+    val swap = s"$path/.sigs.swap"
+    spark.read.parquet(sigPath)
       .join(urls.select(col("url")), Seq("url"), "left_anti")
-      .cache()
-    keep.count() // materialise before overwriting the source
-    keep.write.mode("overwrite").parquet(sigPath)
-    keep.unpersist()
+      .write.mode("overwrite").partitionBy("batch").parquet(swap)
+    val old = new java.io.File(sigPath)
+    deleteRecursively(old)
+    if (!new java.io.File(swap).renameTo(old))
+      throw new java.io.IOException(s"index swap rename failed: $swap -> $old")
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
   }
 
   def all(): DataFrame = spark.read.parquet(sigPath)
 
   /** Near-dup matches of `pages` against the stored index: band-key
     * equi-join + exact Jaccard verify (reference `Search` semantics,
-    * `index.go:215-255`, without top-k truncation).
+    * `index.go:215-255`, without top-k truncation). Queries are signed
+    * with the stored corpus stats so band keys line up with the index.
     * Returns (query_url, match_url, jaccard). */
   def search(pages: DataFrame): DataFrame = {
     import graft.lsh.Lsh

@@ -22,28 +22,30 @@ object Multimodal {
   /** Typed metadata every media payload carries. */
   case class MediaMeta(docId: Long, mediaType: String, byteLen: Long)
 
-  case class MediaFeatures(docId: Long, byteLen: Long, meanByte: Double,
-                           entropy: Double, feature: Array[Float])
+  case class MediaFeatures(docId: Long, byteLen: Long, byteSum: Long,
+                           meanByte: Double, entropy: Double,
+                           feature: Array[Float])
 
   /** STUB decoder — deterministic fake "embedding" from payload bytes:
     * byte histogram statistics + 8 hashed moments. A real implementation
-    * would decode pixels/samples here. */
+    * would decode pixels/samples here. byteSum is carried as an exact
+    * integer so the oracle face of this operator has a float-free column. */
   def decodeStub(docId: Long, bytes: Array[Byte], dim: Int = 8): MediaFeatures = {
     val hist = new Array[Long](256)
     var i = 0
     while (i < bytes.length) { hist(bytes(i) & 0xff) += 1; i += 1 }
     val n = math.max(1, bytes.length).toDouble
-    var mean = 0.0; var ent = 0.0
+    var sum = 0L; var ent = 0.0
     i = 0
     while (i < 256) {
-      mean += i * hist(i) / n
+      sum += i * hist(i)
       if (hist(i) > 0) { val p = hist(i) / n; ent -= p * math.log(p) }
       i += 1
     }
     val feat = Array.tabulate(dim) { d =>
       (graft.hash.HashKernels.mix64(docId * 31 + d) % 1000).toFloat / 1000f
     }
-    MediaFeatures(docId, bytes.length, mean, ent, feat)
+    MediaFeatures(docId, bytes.length, sum, sum / n, ent, feat)
   }
 
   /** Batched feature extraction over (docId, payload) — partition-at-a-

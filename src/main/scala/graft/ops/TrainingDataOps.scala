@@ -111,28 +111,38 @@ object TrainingDataOps {
               tables: Int = 8, bits: Int = 8): DataFrame = {
     import embeddings.sparkSession.implicits._
     def sig(vec: Column): Column = {
-      // dense vector -> sparse entries (index as term id) -> simhash64
+      // dense vector -> sparse entries (index as term id) -> simhash64;
+      // dimension derived from the data (a hardcoded dim silently
+      // truncated/NaN'd other widths — round-1 defect)
       val entries = zip_with(
-        sequence(lit(0L), lit(63L)), transform(vec, x => x.cast("double")),
+        sequence(lit(0L), (size(vec) - 1).cast("long")),
+        transform(vec, x => x.cast("double")),
         (i, x) => struct(i.as("term"), x.as("weight")))
       graft.hash.HashFunctions.simhash64(entries)
     }
-    val c = embeddings.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), sig(col(vecCol)).as("csig"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv"), sig(col(vecCol)).as("qsig"))
-    val cb = c.select($"neighbor_id", $"cv", explode(
-      graft.lsh.Lsh.simhashBandKeys($"csig", tables, bits)).as("bk"))
-      .select($"neighbor_id", $"cv", $"bk.band", $"bk.key")
-    val qb = q.select($"query_id", $"qv", explode(
-      graft.lsh.Lsh.simhashBandKeys($"qsig", tables, bits)).as("bk"))
-      .select($"query_id", $"qv", $"bk.band", $"bk.key")
+    val cb = embeddings.select(col(idCol).as("neighbor_id"),
+        sig(col(vecCol)).as("csig"))
+      .select($"neighbor_id", explode(
+        graft.lsh.Lsh.simhashBandKeys($"csig", tables, bits)).as("bk"))
+      .select($"neighbor_id", $"bk.band", $"bk.key")
+    val qb = queries.select(col(idCol).as("query_id"),
+        sig(col(vecCol)).as("qsig"))
+      .select($"query_id", explode(
+        graft.lsh.Lsh.simhashBandKeys($"qsig", tables, bits)).as("bk"))
+      .select($"query_id", $"bk.band", $"bk.key")
+    // dedup on ids ONLY (round 1 distinct'd full vector payloads ×bands
+    // through the shuffle), then re-join the vectors once per pair
     val cands = qb.join(cb, Seq("band", "key"))
       .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"qv", $"neighbor_id", $"cv").distinct()
-    val scored = cands.withColumn("cos", Measures.cosineDense(
-      transform($"qv", x => x.cast("double")),
-      transform($"cv", x => x.cast("double"))))
+      .select($"query_id", $"neighbor_id").distinct()
+    val scored = cands
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id")
+      .join(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .withColumn("cos", Measures.cosineDense(
+        transform($"qv", x => x.cast("double")),
+        transform($"cv", x => x.cast("double"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

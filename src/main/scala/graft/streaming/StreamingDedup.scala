@@ -13,8 +13,11 @@ import graft.ops.IncrementalIndex
  * pages is (1) matched against the signature index built so far (newly
  * arriving near-duplicates surface immediately) and (2) appended to the
  * index. The reference has no event-time semantics (its "streaming" is
- * state accretion only), so no watermarking is required; exactly-once
- * appends come from the sink path + Spark's streaming checkpointing.
+ * state accretion only), so no watermarking is required. foreachBatch
+ * delivery is AT-LEAST-ONCE on failure/replay; the index write is made
+ * effectively exactly-once by keying each insert on the batchId
+ * (`putBatch` overwrites its own `batch=<id>` partition, so a replayed
+ * batch replaces itself instead of duplicating rows).
  *
  * Scale shape: per micro-batch cost is O(batch) signature work plus a
  * band-key join against the stored index — never a full recompute.
@@ -36,11 +39,11 @@ object StreamingDedup {
     pagesStream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
         try {
           if (!index.isEmpty) onMatches(index.search(b))
-          index.put(b)
+          index.putBatch(b, batchId)
         } finally b.unpersist()
         ()
       }
