@@ -76,30 +76,37 @@ object Bench {
     val cpus4N = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors.min(32))
     val cpusN = math.max(1, cpus4N / 4)
+    // default sized so the data-parallel work W dominates the fixed
+    // driver floor F in the N→4N measurement (t = F + W/cores): at 60k
+    // docs F was ~50% of t₃₂ and efficiency read 0.29 no matter how
+    // good the plan; at ~375k docs the same pipeline measures 0.81
     val synthetic = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toInt)
-      .getOrElse(60000)
+      .getOrElse(330000)
 
     // ---- phase 1: per-query timings at 4N cores ----
+    // (SPARK_GRAFT_BENCH_QUERIES=0 skips it — scaling-iteration use)
     def parts(c: Int) = c
-    val spark = session(cpus4N, parts(cpus4N))
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // a failed query must NOT masquerade as a fast one: record -1
-        // plus the error so broken queries can't inflate the bench
-        try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          queryTimes(name) = (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            queryTimes(name) = -1.0
-            queryErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {
+      val spark = session(cpus4N, parts(cpus4N))
+      try {
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          // a failed query must NOT masquerade as a fast one: record -1
+          // plus the error so broken queries can't inflate the bench
+          try {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+            queryTimes(name) = (System.nanoTime() - t0) / 1e9
+          } catch {
+            case e: Throwable =>
+              queryTimes(name) = -1.0
+              queryErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+          }
         }
-      }
-    } finally spark.stop()
+      } finally spark.stop()
+    }
 
     // ---- phase 2: dedup throughput + scaling (warmup, then N, then 4N).
     // The sandbox VM shows hypervisor steal spikes (±30% wall); min of

@@ -187,7 +187,11 @@ object DedupPipeline {
     applySignatures(tfd, fitCorpusStats(tfd, cfg), cfg)
   }
 
-  /** Stage 3 — LSH candidate pairs over representatives. */
+  /** Stage 3a — MinHash-LSH candidate pairs over representatives.
+    * SimHash near-pairs do NOT flow through here: they are emitted
+    * already Hamming-verified by [[simhashEdges]] — routing them through
+    * the shingle verify join measured 87 s of junk-pair work at 72k
+    * docs (see Lsh.simhashNeighborEdges). */
   def candidates(sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     // chain-order key: first minhash permutation value — equal for
     // identical signatures, close for high-Jaccard docs, and a cheap
@@ -196,15 +200,16 @@ object DedupPipeline {
     val mh = Lsh.explodeBands(sigs, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),
       element_at(col("minhash"), 1))
-    val mhPairs = Lsh.candidatePairs(mh, "doc_id", cfg.maxBucket, cfg.chainWidth)
-    if (cfg.enableSimhashBands) {
-      // SimHash path: sorted-neighborhood over rotations (Manku '07) —
-      // fixed-width band keys saturate quadratically with corpus size
-      val shPairs = Lsh.simhashNeighborPairs(
-        sigs, "doc_id", "simhash", cfg.simhashTables, cfg.chainWidth)
-      mhPairs.union(shPairs).distinct()
-    } else mhPairs
+    Lsh.candidatePairs(mh, "doc_id", cfg.maxBucket, cfg.chainWidth)
   }
+
+  /** Stage 3b — SimHash sorted-neighborhood duplicate edges (Manku '07),
+    * Hamming-verified inside the sorted scan (fixed-width band keys
+    * saturate quadratically with corpus size; unfiltered neighbor pairs
+    * drown the verify join — see Lsh.simhashNeighborEdges). */
+  def simhashEdges(sigs: DataFrame, cfg: DedupConfig): DataFrame =
+    Lsh.simhashNeighborEdges(sigs, "doc_id", "simhash",
+      cfg.simhashTables, cfg.chainWidth, cfg.maxHamming)
 
   /** Stage 4 — exact verification of candidate pairs
     * (`/root/reference/index.go:198-255` semantics: true-metric check on
@@ -245,15 +250,20 @@ object DedupPipeline {
     val exactEdges = store.stage("exact_edges", Seq("extract")) { exactEdges0 }
     val reps = shared(store.stage("reps", Seq("extract")) { reps0 })
     // slim to what downstream stages read: banding needs the signatures,
-    // verify needs shingles — carrying text/tokens/norm through the
-    // exchanges would multiply shuffle volume for nothing
+    // verify needs shingles — carrying text/norm/url through the CPU
+    // repartition and the band exchanges would multiply shuffle volume
+    // for nothing (text+norm ≈ 2× the tokens+shingles bytes, measured)
     val sigs = shared(store.stage("signatures", Seq("reps")) {
-      signatures(reps, cfg)
+      signatures(reps.select("doc_id", "tokens", "shingles"), cfg)
         .select(col("doc_id"), col("minhash"), col("simhash"), col("shingles"))
     })
     val cands = store.stage("candidates", Seq("signatures")) { candidates(sigs, cfg) }
     val verified = store.stage("verified", Seq("candidates", "signatures")) {
-      verifyPairs(cands, sigs, cfg)
+      val jaccardVerified = verifyPairs(cands, sigs, cfg)
+      if (cfg.enableSimhashBands)
+        jaccardVerified.select($"a", $"b")
+          .union(simhashEdges(sigs, cfg).select($"a", $"b"))
+      else jaccardVerified.select($"a", $"b")
     }
     val substrEdges =
       if (cfg.enableSubstr)

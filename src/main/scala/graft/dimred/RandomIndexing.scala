@@ -1,0 +1,111 @@
+package graft.dimred
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.hash.HashFunctions
+
+/**
+ * Random Indexing / Reflective Random Indexing (SURVEY §2.6 R4;
+ * `/root/reference/randomprojection.go:183-341`).
+ *
+ * Semantics in doc-row layout (the reference matrix m is terms×docs;
+ * `contextualise(m, V) = V·m`):
+ *  - **Doc-based fit** (`Fit`, DocBasedRRI default, `:300-310`):
+ *    elemental vectors are random sparse per-DOC vectors; the context
+ *    vector of a term accumulates the elemental vectors of every doc it
+ *    appears in, tf-weighted: context(t) = Σ_doc tf(t,doc)·e(doc).
+ *    One explode + groupBy(term) pass — the elemental vectors are
+ *    generated counter-based inside codegen, never materialised.
+ *  - **Term-based fit** (TermBasedRRI, `:302-304`): the initial context
+ *    table IS the elemental table of the terms themselves.
+ *  - **Reflections** (`:306-309`): each cycle re-expresses docs in the
+ *    current term space (d(doc) = Σ_t tf·context(t)) and then rebuilds
+ *    term vectors from the doc vectors (context(t) = Σ_doc tf·d(doc)) —
+ *    two join+groupBy passes per cycle, the same shape as the CC loop,
+ *    localCheckpoint per cycle to truncate lineage.
+ *  - **Transform** (`:330-341`): doc vector = tf-weighted sum of its
+ *    terms' context vectors = [[DimRed.project]].
+ *  - **PartialFit** (`:248-270`): online accretion — a new batch's
+ *    term contributions are summed into the stored components
+ *    (CSR.Add in the reference; union + groupBy-sum re-aggregation
+ *    here). Batch-order independent by construction (addition
+ *    commutes), which the reference's streaming contract relies on.
+ */
+object RandomIndexing {
+
+  final case class RiConfig(k: Int = 256, density: Double = 0.02,
+                            reflections: Int = 0, termBased: Boolean = false)
+
+  /** Fitted model: (term, vec[k]) context-vector table. */
+  final case class RiModel(components: DataFrame, cfg: RiConfig) {
+    def transform(docs: DataFrame, docIdCol: String, entriesCol: String): DataFrame =
+      DimRed.project(docs, docIdCol, entriesCol, components, cfg.k)
+
+    /** Online accretion of a new mini-batch (`PartialFit`,
+      * `randomprojection.go:248-270`): always plain (non-reflective)
+      * Random Indexing, as the reference documents. */
+    def partialFit(batch: DataFrame, docIdCol: String, entriesCol: String): RiModel = {
+      val contribs = termContribs(batch, docIdCol, entriesCol, cfg)
+      val merged = components.select(col("term"), col("vec"))
+        .union(contribs)
+        .groupBy("term")
+        .agg(aggregate(collect_list(col("vec")),
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
+      RiModel(merged, cfg)
+    }
+  }
+
+  /** Doc-based term contributions: Σ_doc tf(t,doc)·e(doc), elemental
+    * vectors generated inside whole-stage codegen. */
+  private def termContribs(docs: DataFrame, docIdCol: String,
+                           entriesCol: String, cfg: RiConfig): DataFrame =
+    docs.select(col(docIdCol).as("__doc"), explode(col(entriesCol)).as("e"))
+      .select(col("e.term").as("term"),
+        HashFunctions.elementalScaled(col("__doc"),
+          col("e.weight").cast("double"), cfg.k, cfg.density).as("vec"))
+      .groupBy("term")
+      .agg(aggregate(collect_list(col("vec")),
+        transform(sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
+
+  def fit(docs: DataFrame, docIdCol: String, entriesCol: String,
+          cfg: RiConfig = RiConfig()): RiModel = {
+    var comps: DataFrame =
+      if (cfg.termBased)
+        docs.select(explode(col(entriesCol)).as("e"))
+          .select(col("e.term").as("term")).distinct()
+          .select(col("term"),
+            HashFunctions.elementalScaled(col("term"), lit(1.0),
+              cfg.k, cfg.density).as("vec"))
+      else termContribs(docs, docIdCol, entriesCol, cfg)
+
+    var cycle = 0
+    while (cycle < cfg.reflections) {
+      comps = comps.localCheckpoint() // truncate the per-cycle join lineage
+      // docs in current term space
+      val docVecs = DimRed.project(docs, docIdCol, entriesCol, comps, cfg.k)
+        .withColumnRenamed("proj", "dvec")
+      // terms rebuilt from doc vectors (tf-weighted)
+      comps = docs.select(col(docIdCol), explode(col(entriesCol)).as("e"))
+        .join(docVecs, docIdCol)
+        .select(col("e.term").as("term"),
+          transform(col("dvec"),
+            v => v * col("e.weight").cast("double")).as("vec"))
+        .groupBy("term")
+        .agg(aggregate(collect_list(col("vec")),
+          transform(sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
+          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
+      cycle += 1
+    }
+    RiModel(comps.persist(StorageLevel.MEMORY_AND_DISK), cfg)
+  }
+
+  def fitTransform(docs: DataFrame, docIdCol: String, entriesCol: String,
+                   cfg: RiConfig = RiConfig()): (RiModel, DataFrame) = {
+    val m = fit(docs, docIdCol, entriesCol, cfg)
+    (m, m.transform(docs, docIdCol, entriesCol))
+  }
+}

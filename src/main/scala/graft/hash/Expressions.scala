@@ -328,6 +328,58 @@ case class StatsEntries(left: Expression, right: Expression)
   override def prettyName: String = "stats_entries"
 }
 
+/** `gaussianSketch(key, w)` → w · (l deterministic Gaussians keyed by
+  * `key`) as ArrayType(DoubleType) — the on-the-fly Ω row of the
+  * randomized-SVD range sketch (Halko et al. 2011). */
+case class GaussianSketch(left: Expression, right: Expression, l: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(key: Any, w: Any): Any =
+    HashKernels.gaussianSketch(key.asInstanceOf[Long], w.asInstanceOf[Double], l)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (k, w) => s"graft.hash.HashKernels.gaussianSketch($k, $w, $l)")
+  override protected def withNewChildrenInternal(nl: Expression, nr: Expression): GaussianSketch =
+    copy(left = nl, right = nr)
+  override def prettyName: String = s"gaussian_sketch_$l"
+}
+
+/** `elementalScaled(key, w)` → w · (deterministic sparse ±
+  * elemental vector of `key`) as ArrayType(DoubleType) — Random
+  * Indexing index vectors (`/root/reference/randomprojection.go:350-404`). */
+case class ElementalScaled(left: Expression, right: Expression, k: Int,
+                           density: Double)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(key: Any, w: Any): Any =
+    HashKernels.elementalScaled(key.asInstanceOf[Long], w.asInstanceOf[Double],
+      k, density)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (kc, w) => s"graft.hash.HashKernels.elementalScaled($kc, $w, $k, $density)")
+  override protected def withNewChildrenInternal(nl: Expression, nr: Expression): ElementalScaled =
+    copy(left = nl, right = nr)
+  override def prettyName: String = s"elemental_$k"
+}
+
+/** `sparseRandomProject(entries)` → k-dim sparse-density JL projection
+  * (reference distribution, `randomprojection.go:102-154`). */
+case class SparseRandomProject(child: Expression, k: Int, density: Double)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.sparseRandomProject(v.asInstanceOf[ArrayData], k, density)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.hash.HashKernels.sparseRandomProject($c, $k, $density)")
+  override protected def withNewChildInternal(c: Expression): SparseRandomProject =
+    copy(child = c)
+  override def prettyName: String = s"sparse_random_project_$k"
+}
+
 /** Column-level API. */
 object HashFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -354,4 +406,10 @@ object HashFunctions {
     col(StatsEntries(expr(tf), expr(shingles)))
   def randomProject(entries: Column, k: Int): Column =
     col(RandomProject(expr(entries), k))
+  def gaussianSketch(key: Column, w: Column, l: Int): Column =
+    col(GaussianSketch(expr(key), expr(w), l))
+  def elementalScaled(key: Column, w: Column, k: Int, density: Double): Column =
+    col(ElementalScaled(expr(key), expr(w), k, density))
+  def sparseRandomProject(entries: Column, k: Int, density: Double): Column =
+    col(SparseRandomProject(expr(entries), k, density))
 }

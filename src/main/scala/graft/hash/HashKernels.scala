@@ -303,15 +303,22 @@ object HashKernels {
     }
     val out = new scala.collection.mutable.ArrayBuffer[Long](nGrams / window + 2)
     var lastIdx = -1
+    // monotonic deque of indices, hashes strictly increasing front→back;
+    // equal values evict the older index, so the front is always the
+    // RIGHTMOST window minimum — O(n) total vs the O(n·window) rescan
+    // (measured 15.7 s of the 72k-doc substring stage at window=31)
+    val deque = new Array[Int](nGrams)
+    var head = 0; var tail = 0 // [head, tail)
     i = 0
-    while (i + window <= nGrams) {
-      var mn = hs(i); var mi = i
-      var j = i + 1
-      while (j < i + window) {
-        if (hs(j) <= mn) { mn = hs(j); mi = j } // rightmost min
-        j += 1
+    while (i < nGrams) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val lo = i - window + 1 // current window [lo, i]
+      if (deque(head) < lo) head += 1
+      if (lo >= 0) {
+        val mi = deque(head)
+        if (mi != lastIdx) { out += hs(mi); lastIdx = mi }
       }
-      if (mi != lastIdx) { out += mn; lastIdx = mi }
       i += 1
     }
     out.toArray
@@ -418,6 +425,86 @@ object HashKernels {
       i += 1
     }
     UnsafeArrayData.fromPrimitiveArray(randomProject(ids, ws, k))
+  }
+
+  /** Deterministic unit Gaussian, counter-based (splitmix64 + Box–Muller
+    * cosine branch) — stream `slot` of the stream keyed by `key`. Same
+    * distribution as the reference's rand.NormFloat64 draws
+    * (`/root/reference/hashing.go:36-42`) with no RNG state. */
+  def gaussian(key: Long, slot: Int): Double = {
+    val seed = mix64(key ^ 0x5bd1e995c0ffee42L)
+    val u1 = (mix64(seed + 2L * slot) >>> 11) * 1.1102230246251565e-16
+    val u2 = (mix64(seed + 2L * slot + 1) >>> 11) * 1.1102230246251565e-16
+    math.sqrt(-2.0 * math.log(u1 + 1.1102230246251565e-16)) *
+      math.cos(2.0 * math.Pi * u2)
+  }
+
+  /** w · (l Gaussians of stream `key`) — one Ω-row contribution of the
+    * randomized-SVD range sketch Y = A·Ω (Halko et al. 2011), generated
+    * on the fly so no docs×l matrix is ever materialised. */
+  def gaussianSketch(key: Long, w: Double, l: Int): ArrayData = {
+    val out = new Array[Double](l)
+    var s = 0
+    while (s < l) { out(s) = w * gaussian(key, s); s += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /**
+   * Deterministic sparse random "elemental" vector (Random Indexing /
+   * sparse random projection): slot s is non-zero with probability
+   * `density`, value ±sqrt(1/density)/sqrt(k) with equal sign odds —
+   * the reference's CreateRandomProjectionTransform distribution
+   * (`/root/reference/randomprojection.go:350-404`: per-row
+   * Binomial(dims, density) placement ≈ element-wise Bernoulli, values
+   * Bernoulli-signed ±sqrt(1/density)/sqrt(newDims)), i.e. the
+   * Achlioptas-style sparse JL scheme — generated counter-based per
+   * `key` so no projection matrix is ever materialised or shared.
+   */
+  def elemental(key: Long, k: Int, density: Double): Array[Double] = {
+    val out = new Array[Double](k)
+    val seed = mix64(key ^ 0xe1e8e47a11a5e17L)
+    val factor = math.sqrt(1.0 / density) / math.sqrt(k.toDouble)
+    var s = 0
+    while (s < k) {
+      val u = (mix64(seed + s) >>> 11) * 1.1102230246251565e-16
+      if (u < density) {
+        // independent sign bit from a second stream
+        val sign = if ((mix64((seed ^ 0x51ca1ab1e0ddba11L) + s) & 1L) == 0L) 1.0 else -1.0
+        out(s) = sign * factor
+      }
+      s += 1
+    }
+    out
+  }
+
+  /** w · elemental(key) as ArrayData (codegen adapter). */
+  def elementalScaled(key: Long, w: Double, k: Int, density: Double): ArrayData = {
+    val v = elemental(key, k, density)
+    var i = 0
+    while (i < k) { v(i) *= w; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(v)
+  }
+
+  /** Sparse-density JL projection of a sparse (term, weight) vector:
+    * Σ_t w_t · elemental(term) — the reference's RandomProjection
+    * operator with its own sparse matrix distribution
+    * (`randomprojection.go:102-154`), counter-based. Complements
+    * [[randomProject]] (dense Gaussian directions, same JL class). */
+  def sparseRandomProject(entries: ArrayData, k: Int, density: Double): ArrayData = {
+    val n = entries.numElements()
+    val acc = new Array[Double](k)
+    var i = 0
+    while (i < n) {
+      val row = entries.getStruct(i, 2)
+      val w = row.getDouble(1)
+      if (w != 0.0) {
+        val e = elemental(row.getLong(0), k, density)
+        var s = 0
+        while (s < k) { acc(s) += w * e(s); s += 1 }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(acc)
   }
 
   /** Fraction of equal bit positions between two packed signatures

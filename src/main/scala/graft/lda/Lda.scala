@@ -1,0 +1,320 @@
+package graft.lda
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.hash.HashKernels.mix64
+
+/**
+ * Latent Dirichlet Allocation by SCVB0 — Stochastic Collapsed
+ * Variational Bayes (Foulds et al. 2013, arXiv:1305.2452) — the same
+ * algorithm family as the reference (SURVEY §2.6 R5;
+ * `/root/reference/lda.go:68-542`), re-shaped for Spark:
+ *
+ *  - The reference fans goroutines over minibatches and merges each
+ *    minibatch's sufficient statistics into the shared nPhi/nZ under
+ *    mutexes (`lda.go:501-528`, `:303-317`). Here one training
+ *    iteration = one partition-parallel pass: every partition computes
+ *    its documents' statistics against the BROADCAST global state, the
+ *    per-partition (n̂Phi, n̂Z) partials reduce to one update, and the
+ *    driver applies Eqn. 7/8 once per pass. Updates are therefore
+ *    deterministic (no merge races, no update order), at the cost of
+ *    coarser stochasticity — the standard distributed SCVB0 trade
+ *    (MLlib's OnlineLDAOptimizer makes the same one).
+ *  - Per-document state nTheta lives WITH the document in a persisted
+ *    Dataset, localCheckpoint'ed per iteration (the CC-loop lineage
+ *    pattern); global state is vocab-bounded (W×K), never corpus-sized.
+ *  - All "random" initialisation is counter-based (splitmix64 streams),
+ *    so fits are bit-reproducible across runs and partitionings —
+ *    the reference seeds a PRNG for the same purpose in its tests
+ *    (`lda_test.go:16-89`).
+ *
+ * Update equations (reference line refs):
+ *  Eqn 5  γ_k ∝ (nPhi[w,k]+η)(nTheta[d,k]+α)/(nZ[k]+ηW)   `lda.go:236,279`
+ *  Eqn 9  nTheta = (1−ρθ)^cnt·nTheta + (1−(1−ρθ)^cnt)·wc·γ `lda.go:247,289`
+ *  Eqn 7  nPhi   = (1−ρφ)·nPhi + ρφ·n̂Phi                   `lda.go:303-310`
+ *  Eqn 8  nZ     = (1−ρφ)·nZ   + ρφ·n̂Z                     `lda.go:313-317`
+ *  ρ(t) = s/(τ+t)^κ (LearningSchedule, `lda.go:14-32`).
+ */
+final case class LdaConfig(
+  k: Int,
+  vocab: Int,
+  iterations: Int = 100,
+  burnInPasses: Int = 1,          // lda.go:145 default
+  transformationPasses: Int = 20, // bounded variant of lda.go:146 (500 w/ tol)
+  alpha: Double = 0.1,            // lda.go:151
+  eta: Double = 0.01,             // lda.go:152
+  sPhi: Double = 10, tauPhi: Double = 1000, kappaPhi: Double = 0.9,   // lda.go:153-157
+  sTheta: Double = 1, tauTheta: Double = 10, kappaTheta: Double = 0.9, // lda.go:158-162
+  seed: Long = 0)
+
+/** Fitted model: unnormalised topic-word statistics (vocab-bounded). */
+final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
+                     val cfg: LdaConfig) extends Serializable {
+
+  /** K×W topic-over-word probability rows (`lda.go:normalisePhi`). */
+  def topicsLocal: Array[Array[Double]] = {
+    val sums = new Array[Double](cfg.k)
+    var w = 0
+    while (w < cfg.vocab) {
+      var k = 0
+      while (k < cfg.k) { sums(k) += nPhi(w * cfg.k + k); k += 1 }
+      w += 1
+    }
+    Array.tabulate(cfg.k)(k =>
+      Array.tabulate(cfg.vocab)(w => nPhi(w * cfg.k + k) / sums(k)))
+  }
+
+  /** (topic, term, prob) DataFrame face of [[topicsLocal]]. */
+  def topics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val t = topicsLocal
+    (for (k <- 0 until cfg.k; w <- 0 until cfg.vocab)
+      yield (k, w.toLong, t(k)(w))).toDF("topic", "term", "prob")
+  }
+
+  /** Posterior document-over-topic distributions for (possibly new)
+    * docs: burn-in passes against the frozen model
+    * (`lda.go:unNormalisedTransform` + normaliseTheta). Output:
+    * (docIdCol, theta: array[k], rows sum to 1). */
+  def transform(docs: DataFrame, docIdCol: String, entriesCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(this)
+    Lda.docState(docs, docIdCol, entriesCol, cfg)
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map { d =>
+          val theta = d.theta.clone()
+          var pass = 1
+          while (pass <= m.cfg.transformationPasses) {
+            Lda.burnInDoc(d, theta, m.nPhi, m.nZ, m.cfg, 1.0 + pass)
+            pass += 1
+          }
+          var s = 0.0
+          var k = 0
+          while (k < m.cfg.k) { s += theta(k); k += 1 }
+          k = 0
+          while (k < m.cfg.k) { theta(k) /= s; k += 1 }
+          (d.docId, theta)
+        }
+      }.toDF(docIdCol, "theta")
+  }
+
+  /** Corpus perplexity against the fitted model (`lda.go:366-400`). */
+  def perplexity(docs: DataFrame, docIdCol: String, entriesCol: String): Double = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phi = topicsLocal
+    val bc = spark.sparkContext.broadcast(phi)
+    val theta = transform(docs, docIdCol, entriesCol)
+    val ex = docs.select(col(docIdCol).as("__doc"), explode(col(entriesCol)).as("e"))
+      .select(col("__doc"), col("e.term").as("term"),
+        col("e.weight").cast("double").as("cnt"))
+      .join(theta.withColumnRenamed(docIdCol, "__doc"), "__doc")
+    val (logProb, words) = ex.select(col("term"), col("cnt"), col("theta"))
+      .as[(Long, Double, Seq[Double])]
+      .mapPartitions { it =>
+        val p = bc.value
+        var lp = 0.0
+        var wc = 0.0
+        it.foreach { case (term, cnt, th) =>
+          var dot = 0.0
+          var k = 0
+          while (k < p.length) { dot += p(k)(term.toInt) * th(k); k += 1 }
+          lp += (math.log(dot) / math.log(2.0)) * cnt
+          wc += cnt
+        }
+        Iterator((lp, wc))
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    math.pow(2.0, -logProb / words)
+  }
+}
+
+object Lda {
+
+  /** Per-doc training state: entries + the doc's nTheta. */
+  final case class DocState(docId: Long, terms: Array[Int], cnts: Array[Double],
+                            wc: Double, theta: Array[Double])
+
+  private[lda] def rho(s: Double, tau: Double, kappa: Double, t: Double): Double =
+    s / math.pow(tau + t, kappa)
+
+  /** One burn-in sweep over a doc (Eqn 5 + 9; `lda.go:218-261`). */
+  private[lda] def burnInDoc(d: DocState, theta: Array[Double],
+                             nPhi: Array[Double], nZ: Array[Double],
+                             cfg: LdaConfig, rhoThetaT: Double): Unit = {
+    val K = cfg.k
+    val gamma = new Array[Double](K)
+    val rhoTheta = rho(cfg.sTheta, cfg.tauTheta, cfg.kappaTheta, rhoThetaT)
+    var i = 0
+    while (i < d.terms.length) {
+      val w = d.terms(i)
+      val cnt = d.cnts(i)
+      var gs = 0.0
+      var k = 0
+      while (k < K) { // Eqn 5
+        gamma(k) = (nPhi(w * K + k) + cfg.eta) * (theta(k) + cfg.alpha) /
+          (nZ(k) + cfg.eta * cfg.vocab)
+        gs += gamma(k)
+        k += 1
+      }
+      val keep = math.pow(1.0 - rhoTheta, cnt)
+      k = 0
+      while (k < K) { // Eqn 9
+        theta(k) = keep * theta(k) + (1.0 - keep) * d.wc * (gamma(k) / gs)
+        k += 1
+      }
+      i += 1
+    }
+  }
+
+  /** Deterministic uniform in [0,1) from a counter stream. */
+  private def uni(key: Long, slot: Long): Double =
+    (mix64(key ^ mix64(slot)) >>> 11) * 1.1102230246251565e-16
+
+  private[lda] def docState(docs: DataFrame, docIdCol: String,
+                            entriesCol: String, cfg: LdaConfig) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(docIdCol).cast("long").as("docId"),
+        col(entriesCol).as("es"))
+      .select(col("docId"),
+        transform(col("es"), e => e.getField("term").cast("int")).as("terms"),
+        transform(col("es"), e => e.getField("weight").cast("double")).as("cnts"))
+      .as[(Long, Seq[Int], Seq[Double])]
+      .map { case (id, terms, cnts) =>
+        val wc = cnts.sum
+        // nTheta init: deterministic uniforms keyed by (docId, k)
+        // (reference seeds a PRNG for the same purpose, lda.go:474-476)
+        val theta = Array.tabulate(cfg.k)(k => uni(id ^ cfg.seed, 7000L + k))
+        DocState(id, terms.toArray, cnts.toArray, wc, theta)
+      }
+  }
+
+  /**
+   * Fit by SCVB0. One iteration = one deterministic partition-parallel
+   * pass (see class doc). Global state stays vocab-bounded; per-doc
+   * state is checkpointed each round.
+   */
+  def fit(docs: DataFrame, docIdCol: String, entriesCol: String,
+          cfg: LdaConfig): LdaModel = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val K = cfg.k
+    val W = cfg.vocab
+
+    // init nPhi with deterministic uniforms (lda.go:193-206)
+    var nPhi = new Array[Double](W * K)
+    var nZ = new Array[Double](K)
+    var i = 0
+    while (i < W * K) {
+      nPhi(i) = uni(cfg.seed, i)
+      nZ(i % K) += nPhi(i)
+      i += 1
+    }
+
+    var state = docState(docs, docIdCol, entriesCol, cfg)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val totals = state.map(d => (d.wc, 1L)).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val wordsInCorpus = totals._1
+    val nDocs = totals._2
+
+    var rhoThetaT = 1.0
+    var rhoPhiT = 1.0
+    var iter = 0
+    while (iter < cfg.iterations) {
+      rhoThetaT += 1.0
+      val bcPhi = spark.sparkContext.broadcast(nPhi)
+      val bcZ = spark.sparkContext.broadcast(nZ)
+      val rtT = rhoThetaT
+      // one pass: update thetas, emit per-partition stats partials;
+      // doc-state rows and ONE stats row ride the same cached output
+      val next = state.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val phi = bcPhi.value
+        val z = bcZ.value
+        val phiHat = new Array[Double](W * K)
+        val zHat = new Array[Double](K)
+        val gamma = new Array[Double](K)
+        val out = it.map { d =>
+          var pass = 1
+          while (pass <= cfg.burnInPasses) {
+            burnInDoc(d, d.theta, phi, z, cfg, rtT + pass)
+            pass += 1
+          }
+          val rhoTheta = rho(cfg.sTheta, cfg.tauTheta, cfg.kappaTheta,
+            rtT + cfg.burnInPasses)
+          var i = 0
+          while (i < d.terms.length) {
+            val w = d.terms(i)
+            val cnt = d.cnts(i)
+            var gs = 0.0
+            var k = 0
+            while (k < K) { // Eqn 5
+              gamma(k) = (phi(w * K + k) + cfg.eta) * (d.theta(k) + cfg.alpha) /
+                (z(k) + cfg.eta * W)
+              gs += gamma(k)
+              k += 1
+            }
+            val keep = math.pow(1.0 - rhoTheta, cnt)
+            k = 0
+            while (k < K) {
+              val g = gamma(k) / gs
+              d.theta(k) = keep * d.theta(k) + (1.0 - keep) * d.wc * g // Eqn 9
+              val nv = wordsInCorpus * g / nDocs // sufficient stats
+              phiHat(w * K + k) += nv
+              zHat(k) += nv
+              k += 1
+            }
+            i += 1
+          }
+          (-1, d, null: Array[Double], null: Array[Double])
+        }
+        out ++ Iterator((pid, null: DocState, phiHat, zHat))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+      // deterministic merge: float addition is not associative, so the
+      // partials are summed in PARTITION ORDER — an arrival-order
+      // reduce() made two identical fits diverge bit-by-bit (caught by
+      // LdaSpec's determinism gate). Partials are vocab-bounded
+      // (P × W×K), never corpus-sized.
+      val partials = next.filter(_._2 == null)
+        .map(r => (r._1, r._3, r._4))
+        .collect().sortBy(_._1)
+      val phiHat = new Array[Double](W * K)
+      val zHat = new Array[Double](K)
+      partials.foreach { case (_, ph, zh) =>
+        var i = 0
+        while (i < phiHat.length) { phiHat(i) += ph(i); i += 1 }
+        i = 0
+        while (i < zHat.length) { zHat(i) += zh(i); i += 1 }
+      }
+      val newState = next.filter(_._2 != null).map(_._2).localCheckpoint()
+      next.unpersist()
+      state = newState
+
+      val rhoPhi = rho(cfg.sPhi, cfg.tauPhi, cfg.kappaPhi, rhoPhiT)
+      rhoPhiT += 1.0
+      i = 0
+      while (i < W * K) { // Eqn 7
+        nPhi(i) = (1.0 - rhoPhi) * nPhi(i) + rhoPhi * phiHat(i)
+        i += 1
+      }
+      i = 0
+      while (i < K) { // Eqn 8
+        nZ(i) = (1.0 - rhoPhi) * nZ(i) + rhoPhi * zHat(i)
+        i += 1
+      }
+      bcPhi.destroy(); bcZ.destroy()
+      iter += 1
+    }
+    new LdaModel(nPhi, nZ, cfg)
+  }
+
+  def fitTransform(docs: DataFrame, docIdCol: String, entriesCol: String,
+                   cfg: LdaConfig): (LdaModel, DataFrame) = {
+    val m = fit(docs, docIdCol, entriesCol, cfg)
+    (m, m.transform(docs, docIdCol, entriesCol))
+  }
+}

@@ -115,10 +115,63 @@ object SuffixArrayStage {
     out.distinct.iterator
   }
 
-  /** Exact longest-common-run check for one candidate pair, via the
-    * generalised suffix array over the two texts. */
-  def hasCommonRun(a: String, b: String, minRun: Int): Boolean =
-    pairsInBatch(Seq((0L, a), (1L, b)), minRun).nonEmpty
+  /** Exact check: do `a` and `b` share a verbatim run ≥ minRun chars?
+    * A run ≥ minRun exists iff a minRun-gram is shared, so: rolling-hash
+    * every minRun-gram of `a` into an index, probe with `b`'s grams, and
+    * confirm any hash hit by direct char comparison — exact (no
+    * collision false positives), O(|a|+|b|) expected. Replaces the
+    * per-pair generalised suffix array here: prefix-doubling SA verify
+    * measured ~17 ms/pair on 2.6k-char pairs (685 core-s for 40k
+    * candidates); this path is two linear scans. [[pairsInBatch]] keeps
+    * the SA for the multi-doc batch mode and as the oracle in specs. */
+  def hasCommonRun(a: String, b: String, minRun: Int): Boolean = {
+    if (a.length < minRun || b.length < minRun) return false
+    val B = 1000000007L
+    var pow = 1L // B^(minRun-1)
+    var i = 1
+    while (i < minRun) { pow *= B; i += 1 }
+    def grams(s: String): Array[Long] = {
+      val n = s.length - minRun + 1
+      val hs = new Array[Long](n)
+      var h = 0L
+      var j = 0
+      while (j < minRun) { h = h * B + s.charAt(j); j += 1 }
+      hs(0) = h
+      j = 1
+      while (j < n) {
+        h = (h - s.charAt(j - 1) * pow) * B + s.charAt(j + minRun - 1)
+        hs(j) = h
+        j += 1
+      }
+      hs
+    }
+    val ha = grams(a)
+    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](ha.length * 2)
+    i = 0
+    while (i < ha.length) {
+      // keep the first position per hash; collisions on equal hashes
+      // with different text are resolved at confirm time
+      index.putIfAbsent(ha(i), i)
+      i += 1
+    }
+    val hb = grams(b)
+    var collision = false
+    i = 0
+    while (i < hb.length) {
+      val p = index.get(hb(i))
+      if (p != null) {
+        if (a.regionMatches(p.intValue(), b, i, minRun)) return true
+        collision = true // equal hash, different text: 64-bit collision
+      }
+      i += 1
+    }
+    // exactness guarantee: a hash collision could shadow a true match
+    // behind the same hash value (first-position-only index), so fall
+    // back to the suffix-array oracle — probability ~n²/2^64, in
+    // practice never taken
+    if (collision) pairsInBatch(Seq((0L, a), (1L, b)), minRun).nonEmpty
+    else false
+  }
 
   /**
    * Distributed substring-duplicate edges (winnow → anchor join →

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.lda.{Lda, LdaConfig}
+import graft.hash.HashKernels.mix64
+
+/**
+ * LDA/SCVB0 tests (SURVEY §2.6 R5). The reference's golden tests pin
+ * expected distributions under ITS seeded PRNG (`lda_test.go:16-177`) —
+ * not portable across RNGs — so the contract is checked the way the
+ * reference's assertions are structured: rows sum to 1, the learnt
+ * topics separate a corpus with known (planted) topic structure, the
+ * model is deterministic for a fixed seed, and Transform after
+ * FitTransform reproduces consistent doc-topic posteriors
+ * (`lda_test.go:179-235`).
+ */
+class LdaSpec extends AnyFunSuite with SparkSpec {
+
+  private val topics = 3
+  private val wordsPerTopic = 30
+  private val vocab = topics * wordsPerTopic
+  private val docsPerTopic = 40
+  private val tokensPerDoc = 40
+
+  /** Deterministic corpus: doc d draws all tokens from its topic's
+    * 30-word vocabulary block (counter-based draws). */
+  private def corpus: DataFrame = {
+    import spark.implicits._
+    val rows = (0 until topics * docsPerTopic).map { d =>
+      val topic = d % topics
+      val counts = new Array[Int](vocab)
+      for (t <- 0 until tokensPerDoc) {
+        val u = (mix64(d * 100003L + t) >>> 11) * 1.1102230246251565e-16
+        val w = topic * wordsPerTopic + (u * wordsPerTopic).toInt
+        counts(w) += 1
+      }
+      val entries = counts.zipWithIndex.filter(_._1 > 0)
+        .map { case (c, w) => (w.toLong, c.toDouble) }.toSeq
+      (d.toLong, entries)
+    }
+    rows.toDF("doc_id", "raw").select(col("doc_id"),
+      transform(col("raw"), e => struct(
+        e.getField("_1").as("term"),
+        e.getField("_2").as("weight"))).as("entries"))
+  }
+
+  private val cfg = LdaConfig(k = topics, vocab = vocab, iterations = 30,
+    transformationPasses = 30, seed = 42)
+
+  test("SCVB0 recovers planted topics; thetas sum to 1") {
+    val (model, out) = Lda.fitTransform(corpus, "doc_id", "entries", cfg)
+    val thetas = out.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+    // every theta is a distribution
+    thetas.values.foreach { th =>
+      assert(math.abs(th.sum - 1.0) < 1e-9)
+      th.foreach(p => assert(p >= 0 && p <= 1))
+    }
+
+    // docs of the same planted topic agree on their argmax topic, and
+    // the three planted groups land on three DISTINCT learnt topics
+    val argmax = (0 until topics).map { g =>
+      val groupDocs = (0 until topics * docsPerTopic).filter(_ % topics == g)
+      val tops = groupDocs.map(d => thetas(d.toLong).zipWithIndex.maxBy(_._1)._2)
+      val majority = tops.groupBy(identity).maxBy(_._2.size)
+      assert(majority._2.size >= tops.size * 9 / 10,
+        s"group $g split: ${tops.groupBy(identity).view.mapValues(_.size).toMap}")
+      majority._1
+    }
+    assert(argmax.distinct.size == topics, s"topics collapsed: $argmax")
+
+    // the learnt topic for group g concentrates its mass on g's block
+    val phi = model.topicsLocal
+    for (g <- 0 until topics) {
+      val k = argmax(g)
+      val inBlock = (g * wordsPerTopic until (g + 1) * wordsPerTopic)
+        .map(phi(k)(_)).sum
+      assert(inBlock > 0.9, s"topic $k mass on block $g: $inBlock")
+    }
+  }
+
+  test("fit is deterministic for a fixed seed") {
+    val m1 = Lda.fit(corpus, "doc_id", "entries", cfg)
+    val m2 = Lda.fit(corpus, "doc_id", "entries", cfg)
+    assert(m1.nPhi.sameElements(m2.nPhi))
+    assert(m1.nZ.sameElements(m2.nZ))
+  }
+
+  test("transform after fit gives consistent posteriors (lda_test.go:179-235)") {
+    val (model, out1) = Lda.fitTransform(corpus, "doc_id", "entries", cfg)
+    val out2 = model.transform(corpus, "doc_id", "entries")
+    val a = out1.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val b = out2.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // both runs assign each doc the same dominant topic with close mass
+    for (d <- a.keys) {
+      assert(a(d).zipWithIndex.maxBy(_._1)._2 == b(d).zipWithIndex.maxBy(_._1)._2)
+      for (k <- 0 until topics)
+        assert(math.abs(a(d)(k) - b(d)(k)) < 0.15)
+    }
+  }
+
+  test("perplexity of the fitted model beats the uniform model") {
+    val model = Lda.fit(corpus, "doc_id", "entries", cfg)
+    val p = model.perplexity(corpus, "doc_id", "entries")
+    // uniform word model perplexity = vocab size; topic structure must
+    // compress much further (each doc uses a 30-word block)
+    assert(p < wordsPerTopic * 1.5, s"perplexity $p")
+    assert(p > 1.0)
+  }
+}
