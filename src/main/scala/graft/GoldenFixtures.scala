@@ -38,6 +38,96 @@ object GoldenFixtures {
     ("fix:4", 1.993533, 0.683019, 0.2572, 1.842577),
     ("fix:5", 0.393887, -0.784704, 0.700631, -0.770249))
 
+  // (doc_id, p1, p2) — TruncatedSVD k=2 FitTransform of the reference
+  // 6×4 fixture matrix (dimreduction_test.go:21-29), exact Gram path.
+  // |values| match the reference golden S·V_kᵀ within 0.01 (signs are
+  // Jacobi's convention; the reference's are gonum's — DimRedSpec
+  // asserts the sign-invariant equality)
+  val svd: Seq[(Long, Double, Double)] = Seq(
+    (0L, 8.0877, -1.889846),
+    (1L, 2.21046, 2.521877),
+    (2L, 1.693663, 4.647373),
+    (3L, 0.951374, 1.932902))
+
+  // (doc_id, p1, p2) — PCA k=2 FitTransform, same fixture
+  val pca: Seq[(Long, Double, Double)] = Seq(
+    (0L, 7.478296, 2.936976),
+    (1L, 0.12843, 2.581046),
+    (2L, -1.591261, 4.240047),
+    (3L, -0.49573, 1.110301))
+
+  // (url, r1..r4) — RandomIndexing k=8 doc projections, fixture corpus
+  val rri: Seq[(String, Double, Double, Double, Double)] = Seq(
+    ("fix:0", 3.535534, 7.778175, -7.778175, 0.0),
+    ("fix:1", 2.828427, 3.535534, -3.535534, 0.0),
+    ("fix:2", 2.12132, 2.12132, -2.12132, 0.0),
+    ("fix:3", 0.707107, 0.0, 1.414214, 0.0),
+    ("fix:4", 5.656854, 3.535534, -2.828427, 0.0),
+    ("fix:5", 0.0, 0.0, 0.0, 2.828427))
+
+  // (url, p1..p4) — sparse-density JL projection (Achlioptas), fixture corpus
+  val sparseProj: Seq[(String, Double, Double, Double, Double)] = Seq(
+    ("fix:0", 0.707107, -2.12132, -1.414214, 2.828427),
+    ("fix:1", 0.707107, -0.707107, 0.707107, 0.707107),
+    ("fix:2", 0.0, 0.707107, 0.0, 0.0),
+    ("fix:3", 0.707107, -0.707107, 0.0, -0.707107),
+    ("fix:4", 1.414214, -3.535534, 1.414214, -0.707107),
+    ("fix:5", -0.707107, -0.707107, 0.0, 0.0))
+
+  // (doc_id, t1, t2) — SCVB0 LDA doc-topic posteriors, pinned fixture
+  // (docs alternate between the two planted topic blocks — the fit
+  // separates them to ~0.999)
+  val lda: Seq[(Long, Double, Double)] = Seq(
+    (0L, 3.84E-4, 0.999616),
+    (1L, 0.999387, 6.13E-4),
+    (2L, 3.35E-4, 0.999665),
+    (3L, 0.999347, 6.53E-4),
+    (4L, 4.0E-4, 0.9996),
+    (5L, 0.999605, 3.95E-4),
+    (6L, 4.17E-4, 0.999583),
+    (7L, 0.999425, 5.75E-4),
+    (8L, 3.49E-4, 0.999651),
+    (9L, 0.999221, 7.79E-4),
+    (10L, 4.26E-4, 0.999574),
+    (11L, 0.99947, 5.3E-4),
+    (12L, 3.5E-4, 0.99965),
+    (13L, 0.999481, 5.19E-4),
+    (14L, 3.81E-4, 0.999619),
+    (15L, 0.999446, 5.54E-4),
+    (16L, 3.59E-4, 0.999641),
+    (17L, 0.999371, 6.29E-4),
+    (18L, 3.95E-4, 0.999605),
+    (19L, 0.999475, 5.25E-4),
+    (20L, 3.75E-4, 0.999625),
+    (21L, 0.9994, 6.0E-4),
+    (22L, 3.91E-4, 0.999609),
+    (23L, 0.999064, 9.36E-4),
+    (24L, 3.31E-4, 0.999669),
+    (25L, 0.999357, 6.43E-4),
+    (26L, 3.87E-4, 0.999613),
+    (27L, 0.999406, 5.94E-4),
+    (28L, 3.23E-4, 0.999677),
+    (29L, 0.999145, 8.55E-4))
+
+  private def longDoubles2Sql(rows: Seq[(Long, Double, Double)],
+                              c1: String, c2: String): String =
+    "SELECT * FROM (VALUES " + rows.map { case (id, a, b) =>
+      s"(CAST($id AS BIGINT), CAST($a AS DOUBLE), CAST($b AS DOUBLE))"
+    }.mkString(",") + s") t(doc_id, $c1, $c2)"
+
+  private def strDoubles4Sql(rows: Seq[(String, Double, Double, Double, Double)],
+                             cols: Seq[String]): String =
+    "SELECT * FROM (VALUES " + rows.map { case (u, a, b, c, d) =>
+      s"('$u', CAST($a AS DOUBLE), CAST($b AS DOUBLE), " +
+        s"CAST($c AS DOUBLE), CAST($d AS DOUBLE))"
+    }.mkString(",") + ") t(url, " + cols.mkString(", ") + ")"
+
+  def svdSql: String = longDoubles2Sql(svd, "p1", "p2")
+  def pcaSql: String = longDoubles2Sql(pca, "p1", "p2")
+  def rriSql: String = strDoubles4Sql(rri, Seq("r1", "r2", "r3", "r4"))
+  def sparseProjSql: String = strDoubles4Sql(sparseProj, Seq("p1", "p2", "p3", "p4"))
+  def ldaSql: String = longDoubles2Sql(lda, "t1", "t2")
+
   def minhashSigSql: String =
     "SELECT * FROM (VALUES " + minhashSig.map { case (u, a, b, m) =>
       s"('$u', CAST($a AS BIGINT), CAST($b AS BIGINT), '$m')"

@@ -61,6 +61,48 @@ object SparkEntry {
       "fix:5" -> "spoon dish and plate").toDF("url", "text")
   }
 
+  /** The reference's 6×4 dim-reduction fixture matrix
+    * (`/root/reference/dimreduction_test.go:21-29`) in doc-row sparse
+    * layout: 4 docs, terms 0..5. */
+  private def refMatrixDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val m = Array(
+      Array(1.0, 3, 5, 2), Array(8.0, 1, 0, 0), Array(2.0, 1, 0, 1),
+      Array(0.0, 0, 0, 0), Array(0.0, 0, 0, 1), Array(0.0, 1, 0, 0))
+    (0 until 4).map { j =>
+      (j.toLong, (0 until 6).flatMap(t =>
+        if (m(t)(j) != 0.0) Some((t.toLong, m(t)(j))) else None))
+    }.toDF("doc_id", "raw").select(col("doc_id"),
+      transform(col("raw"), e => struct(
+        e.getField("_1").as("term"),
+        e.getField("_2").as("weight"))).as("entries"))
+  }
+
+  /** Pinned LDA fixture: 30 docs over a 20-word vocab, two planted
+    * 10-word topic blocks; partitions pinned so the SCVB0 fit is
+    * bit-identical across sessions (see LdaConfig.partitions). */
+  private def ldaFixture(s: SparkSession): (DataFrame, graft.lda.LdaConfig) = {
+    import s.implicits._
+    import graft.hash.HashKernels.mix64
+    val vocab = 20
+    val rows = (0 until 30).map { d =>
+      val topic = d % 2
+      val counts = new Array[Int](vocab)
+      for (t <- 0 until 25) {
+        val u = (mix64(d * 100003L + t) >>> 11) * 1.1102230246251565e-16
+        counts(topic * 10 + (u * 10).toInt) += 1
+      }
+      (d.toLong, counts.zipWithIndex.filter(_._1 > 0)
+        .map { case (c, w) => (w.toLong, c.toDouble) }.toSeq)
+    }
+    val df = rows.toDF("doc_id", "raw").select(col("doc_id"),
+      transform(col("raw"), e => struct(
+        e.getField("_1").as("term"),
+        e.getField("_2").as("weight"))).as("entries"))
+    (df, graft.lda.LdaConfig(k = 2, vocab = vocab, iterations = 10,
+      transformationPasses = 10, seed = 7, partitions = 2))
+  }
+
   /** Synthetic pages + construction-truth pairs for the e2e coverage
     * queries (deterministic; 300 base docs → 15 exact / 15 near / 6
     * substr planted pairs — the recall fixture of PipelineSpec). */
@@ -262,28 +304,39 @@ object SparkEntry {
           (col("ca") === col("cb")).as("found"))
     }),
 
-    // LSH banding CONTRACT per planted near pair: any pair with exact
-    // shingle-Jaccard ≥ τ MUST surface as a candidate (32 bands × 4 rows
-    // → miss prob (1−τ⁴)³² ≈ 3e-30 at τ=0.8); pairs edited below τ are
-    // vacuously ok — they are the substring stage's job, as the
-    // q_dedup_clusters gate shows
+    // LSH stage CONTRACT per planted near pair: any pair with exact
+    // shingle-Jaccard ≥ τ MUST be surfaced by the LSH stage — via
+    // MinHash banding (32 bands × 4 rows → miss prob (1−τ⁴)³² ≈ 3e-30
+    // at RAW Jaccard τ=0.8; df-conditioned shingle filtering can lower
+    // the BANDED Jaccard of boilerplate-heavy pairs) or via the
+    // Hamming-verified SimHash sorted-neighborhood edges that cover
+    // exactly that boilerplate case. Pairs edited below τ are vacuously
+    // ok — they are the substring stage's job (see q_dedup_clusters)
     "q_lsh_candidates" -> ((s, dir) => {
       val cfg = DedupConfig()
       val (pages, truth) = syntheticTruth(s)
       val ext = DedupPipeline.extract(pages, cfg)
       val (_, reps) = DedupPipeline.exactDedup(ext)
-      val cands = DedupPipeline.candidates(
-        DedupPipeline.signatures(reps, cfg), cfg)
-      val ids = ext.select(col("url"), col("doc_id"), col("shingles"))
+      val sigs = DedupPipeline.signatures(reps, cfg)
+      val cands = DedupPipeline.candidates(sigs, cfg)
+        .union(DedupPipeline.simhashEdges(sigs, cfg).select(col("a"), col("b")))
+        .distinct() // a pair may surface via both mechanisms
+      val ids = ext.select(col("url"), col("doc_id"), col("shingles"),
+        col("text_hash"))
       truth.filter(col("kind") === "near")
-        .join(ids.toDF("urlA", "ida", "sha"), "urlA")
-        .join(ids.toDF("urlB", "idb", "shb"), "urlB")
+        .join(ids.toDF("urlA", "ida", "sha", "ha"), "urlA")
+        .join(ids.toDF("urlB", "idb", "shb", "hb"), "urlB")
         .withColumn("a", least(col("ida"), col("idb")))
         .withColumn("b", greatest(col("ida"), col("idb")))
         .join(cands.withColumn("hit", lit(true)), Seq("a", "b"), "left")
         .select(col("urlA").as("url_a"), col("urlB").as("url_b"),
           (coalesce(col("hit"), lit(false)) ||
-            Measures.jaccard(col("sha"), col("shb")) < cfg.tau)
+            // below-τ pairs are the substring stage's job; pairs whose
+            // edit degenerated to IDENTICAL extracted text are the
+            // exact stage's job (collapsed before LSH ever runs) —
+            // both vacuously satisfy the LSH contract
+            Measures.jaccard(col("sha"), col("shb")) < cfg.tau ||
+            col("ha") === col("hb"))
             .as("contract_ok"))
     }),
 
@@ -310,6 +363,70 @@ object SparkEntry {
       val vecs = SyntheticVectors.generate(s, 50)
       TrainingDataOps.lshTopK(vecs, "vec_id", "embedding", vecs, 1)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- dimensionality reduction / topic models (SURVEY R1/R2/R4/R5):
+    // deterministic fits over pinned fixtures; oracles are golden
+    // literal tables (same pattern as the hash-kernel goldens) ----
+    "q_svd" -> ((s, dir) => {
+      val (_, out) = graft.dimred.TruncatedSVD.fitTransform(
+        refMatrixDocs(s), "doc_id", "entries", d = 6, k = 2)
+      out.select(col("doc_id"),
+        round(element_at(col("proj"), 1), 6).as("p1"),
+        round(element_at(col("proj"), 2), 6).as("p2"))
+    }),
+
+    "q_pca" -> ((s, dir) => {
+      val (_, out) = graft.dimred.PCA.fitTransform(
+        refMatrixDocs(s), "doc_id", "entries", d = 6, k = 2)
+      out.select(col("doc_id"),
+        round(element_at(col("proj"), 1), 6).as("p1"),
+        round(element_at(col("proj"), 2), 6).as("p2"))
+    }),
+
+    "q_rri" -> ((s, dir) => {
+      // Random Indexing (doc-based, k=8) over the fixture corpus;
+      // term space is the hashed feature space (no dense vocab needed)
+      val entries = transform(
+        HashFunctions.hashedTf(TextKernel.tokenize(col("text")), 1 << 18),
+        e => struct(e.getField("term").as("term"),
+          e.getField("cnt").cast("double").as("weight")))
+      val docs = fixturePages(s)
+        .select(xxhash64(col("url")).as("doc_id"), col("url"), entries.as("entries"))
+      val (_, out) = graft.dimred.RandomIndexing.fitTransform(
+        docs, "doc_id", "entries",
+        graft.dimred.RandomIndexing.RiConfig(k = 8, density = 0.25))
+      docs.select(col("doc_id"), col("url"))
+        .join(out, "doc_id")
+        .select(col("url"),
+          round(element_at(col("proj"), 1), 6).as("r1"),
+          round(element_at(col("proj"), 2), 6).as("r2"),
+          round(element_at(col("proj"), 3), 6).as("r3"),
+          round(element_at(col("proj"), 4), 6).as("r4"))
+    }),
+
+    "q_sparse_proj" -> ((s, dir) => {
+      // Achlioptas sparse-density JL projection (the reference's own
+      // RandomProjection distribution), per-row codegen'd
+      val entries = transform(
+        HashFunctions.hashedTf(TextKernel.tokenize(col("text")), 1 << 18),
+        e => struct(e.getField("term").as("term"),
+          e.getField("cnt").cast("double").as("weight")))
+      fixturePages(s).select(col("url"),
+        HashFunctions.sparseRandomProject(entries, 4, 0.5).as("p"))
+        .select(col("url"),
+          round(element_at(col("p"), 1), 6).as("p1"),
+          round(element_at(col("p"), 2), 6).as("p2"),
+          round(element_at(col("p"), 3), 6).as("p3"),
+          round(element_at(col("p"), 4), 6).as("p4"))
+    }),
+
+    "q_lda" -> ((s, dir) => {
+      val (pages, cfg) = ldaFixture(s)
+      val (_, out) = graft.lda.Lda.fitTransform(pages, "doc_id", "entries", cfg)
+      out.select(col("doc_id"),
+        round(element_at(col("theta"), 1), 6).as("t1"),
+        round(element_at(col("theta"), 2), 6).as("t2"))
     }),
 
     // scalar face of the batched decode (feature arrays are unhashable
@@ -572,6 +689,11 @@ object SparkEntry {
   private def goldenOracles: Map[String, String] = Map(
     "q_minhash_sig" -> GoldenFixtures.minhashSigSql,
     "q_simhash" -> GoldenFixtures.simhashSql,
-    "q_random_proj" -> GoldenFixtures.randomProjSql
+    "q_random_proj" -> GoldenFixtures.randomProjSql,
+    "q_svd" -> GoldenFixtures.svdSql,
+    "q_pca" -> GoldenFixtures.pcaSql,
+    "q_rri" -> GoldenFixtures.rriSql,
+    "q_sparse_proj" -> GoldenFixtures.sparseProjSql,
+    "q_lda" -> GoldenFixtures.ldaSql
   )
 }

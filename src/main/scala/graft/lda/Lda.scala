@@ -45,7 +45,12 @@ final case class LdaConfig(
   eta: Double = 0.01,             // lda.go:152
   sPhi: Double = 10, tauPhi: Double = 1000, kappaPhi: Double = 0.9,   // lda.go:153-157
   sTheta: Double = 1, tauTheta: Double = 10, kappaTheta: Double = 0.9, // lda.go:158-162
-  seed: Long = 0)
+  seed: Long = 0,
+  // > 0 pins the doc-state partitioning (hash on docId + in-partition
+  // sort): fits become bit-identical ACROSS sessions with different
+  // parallelism, not just within one — required by the golden-oracle
+  // query. 0 = cluster parallelism (within-session determinism only).
+  partitions: Int = 0)
 
 /** Fitted model: unnormalised topic-word statistics (vocab-bounded). */
 final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
@@ -213,9 +218,15 @@ object Lda {
       i += 1
     }
 
-    var state = docState(docs, docIdCol, entriesCol, cfg)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .localCheckpoint()
+    var state = (
+      if (cfg.partitions > 0)
+        docState(docs, docIdCol, entriesCol, cfg)
+          .repartition(cfg.partitions, col("docId"))
+          .sortWithinPartitions("docId")
+      else
+        docState(docs, docIdCol, entriesCol, cfg)
+          .repartition(spark.sparkContext.defaultParallelism)
+      ).localCheckpoint()
     val totals = state.map(d => (d.wc, 1L)).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
     val wordsInCorpus = totals._1
     val nDocs = totals._2

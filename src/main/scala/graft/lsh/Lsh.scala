@@ -85,10 +85,15 @@ object Lsh {
    *         `/root/reference/index.go:236-251` approx mode).
    */
   def simhashNeighborEdges(sigs: DataFrame, docId: String, sigCol: String,
-                           tables: Int, width: Int, maxHamming: Int): DataFrame = {
+                           tables: Int, width: Int, maxHamming: Int,
+                           totalParts: Int = 0): DataFrame = {
     val spark = sigs.sparkSession
     import spark.implicits._
-    val parts = spark.sparkContext.defaultParallelism
+    // totalParts = 1 is the no-seam oracle (single sorted scan) used by
+    // SeamLossSpec to measure the boundary loss directly
+    val nParts =
+      if (totalParts > 0) totalParts
+      else spark.sparkContext.defaultParallelism * tables
     val rotKeys = array((0 until tables).map { t =>
       val rot = t * (64 / tables)
       val key =
@@ -101,7 +106,7 @@ object Lsh {
     sigs.select(col(docId).cast("long").as("id"), col(sigCol).as("sig"),
         explode(rotKeys).as("rk"))
       .select($"rk.rot".as("rot"), $"rk.k".as("k"), $"id", $"sig")
-      .repartitionByRange(parts * tables, $"rot", $"k")
+      .repartitionByRange(nParts, $"rot", $"k")
       .sortWithinPartitions($"rot", $"k")
       .select($"rot", $"id", $"sig").as[(Int, Long, Long)]
       .mapPartitions { it =>
