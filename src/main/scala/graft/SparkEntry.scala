@@ -365,6 +365,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ---- LSH Forest prefix expansion (SURVEY H5): planted partner of
+    // fingerprint i is i XOR 1 (1-2 flipped bits) → top-1 must be the
+    // partner; generate_series oracle, same pattern as q_ann_lsh ----
+    "q_lsh_forest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col => c}
+      val sigs = s.range(0, 200).select(c("id").as("doc_id"),
+        when(c("id") % 2 === 0,
+          HashFunctions.murmur3go(concat(lit("lf:"), floor(c("id") / 2).cast("long").cast("string")))
+            .bitwiseXOR(shiftleft(
+              HashFunctions.murmur3go(concat(lit("lg:"), floor(c("id") / 2).cast("long").cast("string"))), 32)))
+          .otherwise(
+            HashFunctions.murmur3go(concat(lit("lf:"), floor(c("id") / 2).cast("long").cast("string")))
+              .bitwiseXOR(shiftleft(
+                HashFunctions.murmur3go(concat(lit("lg:"), floor(c("id") / 2).cast("long").cast("string"))), 32))
+              .bitwiseXOR(call_function("shiftleft", lit(1L),
+                pmod(c("id") * 7, lit(64)).cast("int"))))
+          .as("sig"))
+      graft.lsh.LshForest.searchTopK(sigs, "doc_id",
+          sigs.filter(c("doc_id") < 100), "doc_id", "sig", 1)
+        .select(c("query_id"), c("neighbor_id"), c("rank"))
+    }),
+
     // ---- dimensionality reduction / topic models (SURVEY R1/R2/R4/R5):
     // deterministic fits over pinned fixtures; oracles are golden
     // literal tables (same pattern as the hash-kernel goldens) ----
@@ -670,6 +692,13 @@ object SparkEntry {
         """SELECT 'https://www.site'||(30+j)||'.example/p/'||(30+j) AS url_a,
           | 'https://www.site'||j||'.example/p/dups'||j AS url_b,
           | true AS found FROM generate_series(0,5) t(j)"""
+          .stripMargin.replace("\n", ""),
+
+      // planted-partner prefix-expansion search: partner of i is i XOR 1
+      "q_lsh_forest" ->
+        """SELECT i::BIGINT AS query_id,
+          | (CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END)::BIGINT AS neighbor_id,
+          | 1 AS rank FROM generate_series(0, 99) t(i)"""
           .stripMargin.replace("\n", ""),
 
       // planted-partner ANN: true nearest neighbor of i is i XOR 1

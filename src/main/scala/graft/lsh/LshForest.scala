@@ -1,0 +1,118 @@
+package graft.lsh
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * LSH Forest prefix expansion (SURVEY §2.4 H5;
+ * `/root/reference/lsh.go:157-279`, after Bawa et al. '05).
+ *
+ * The reference keeps one radix tree per table, keyed by the bit-string
+ * of the signature under that table's rotation; a search takes the
+ * candidates sharing the longest prefix with the query and, while fewer
+ * than k are found, *shortens* the prefix (`WalkPrefix` over
+ * progressively shorter prefixes, `lsh.go:194-240`).
+ *
+ * Spark re-expression: an exact-prefix bucket IS an equi-join key —
+ * `prefix_L(sig) = sig >>> (64−L)` — so prefix expansion becomes a
+ * SHORT ITERATIVE SEQUENCE OF EQUI-JOINS over decreasing prefix
+ * lengths, one shuffle each, with queries dropping out of later rounds
+ * as soon as a round has satisfied their candidate quota. No tree is
+ * materialised; the shuffle on (rotation, prefix) is the radix level,
+ * exactly as the band shuffle is the hash table in ClassicLSH. All
+ * rotations ride the same exchange (the simhashNeighborEdges pattern).
+ *
+ * Distance semantics match the reference's approx mode: candidates are
+ * ranked by Hamming distance over the signatures themselves
+ * (`index.go:236-251`), ties by neighbor id, top-k per query.
+ */
+object LshForest {
+
+  /** Per-doc (rot, prefix-key) rows for every rotation — the "trees". */
+  private def rotated(df: DataFrame, idCol: String, sigCol: String,
+                      tables: Int): DataFrame = {
+    val rotKeys = array((0 until tables).map { t =>
+      val rot = t * (64 / tables)
+      val key =
+        if (rot == 0) col(sigCol)
+        else shiftleft(col(sigCol), rot)
+          .bitwiseOR(shiftrightunsigned(col(sigCol), 64 - rot))
+      struct(lit(t).as("rot"), key.as("k"))
+    }: _*)
+    df.select(col(idCol).cast("long").as("id"), col(sigCol).as("sig"),
+        explode(rotKeys).as("rk"))
+      .select(col("rk.rot").as("rot"), col("rk.k").as("k"),
+        col("id"), col("sig"))
+  }
+
+  /**
+   * Batch top-k search.
+   * @param index   (idCol, sigCol) corpus signatures
+   * @param queries (qidCol, sigCol) query signatures
+   * @param k       neighbours per query
+   * @param tables  rotations (trees)
+   * @param step    bits removed from the prefix per expansion round
+   * @param minPrefix shortest prefix tried (stops the expansion; the
+   *        reference walks to the tree root — prefix 0 = full scan —
+   *        which is exactly the degenerate case a scale design must cap)
+   * @return (query_id, neighbor_id, hamming, rank), rank ≤ k
+   */
+  def searchTopK(index: DataFrame, idCol: String, queries: DataFrame,
+                 qidCol: String, sigCol: String, k: Int,
+                 tables: Int = 4, step: Int = 8,
+                 minPrefix: Int = 16): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val corpus = rotated(index, idCol, sigCol, tables)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pending = rotated(queries, qidCol, sigCol, tables)
+      .select(col("rot"), col("k"), col("id").as("qid"), col("sig").as("qsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var found: DataFrame = null
+    var prefixLen = 64
+    while (prefixLen >= minPrefix && pending != null) {
+      val shift = 64 - prefixLen
+      def pfx(c: Column) = shiftrightunsigned(c, shift)
+      // equi-join on (rot, prefix) = one radix level of every tree
+      val level = corpus.select(col("rot").as("c_rot"), pfx(col("k")).as("p"),
+        col("id"), col("sig"))
+      val cands = pending
+        .join(level,
+          pending("rot") === level("c_rot") && pfx(pending("k")) === level("p"))
+        .select(col("qid"), col("qsig"), col("id"), col("sig"))
+        .filter(col("qid") =!= col("id"))
+        .distinct()
+      // localCheckpoint per round: the accumulator is re-read by the
+      // quota filter AND the next round's union — without a lineage cut
+      // every round re-executes the whole expansion history (the CC-loop
+      // lesson; unchecked this ran minutes instead of seconds)
+      found =
+        (if (found == null) cands else found.union(cands).distinct())
+          .localCheckpoint()
+      if (prefixLen - step >= minPrefix) {
+        // queries whose candidate quota is met leave the expansion
+        val counts = found.groupBy(col("qid").as("done_qid"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= k)
+        val next = pending
+          .join(counts, pending("qid") === counts("done_qid"), "left_anti")
+          .localCheckpoint()
+        // cheap emptiness probe bounds the loop (log-rounds, not data)
+        if (next.isEmpty) pending = null else pending = next
+      }
+      prefixLen -= step
+    }
+    corpus.unpersist()
+
+    val w = Window.partitionBy("qid")
+      .orderBy(col("hamming"), col("id"))
+    found
+      .withColumn("hamming",
+        bit_count(col("qsig").bitwiseXOR(col("sig"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("hamming"), col("rank"))
+  }
+}
