@@ -56,18 +56,35 @@ object Bench {
     pages.select(col("url"), col("text")).union(docs)
   }
 
+  /** (stealTicks, totalTicks) from /proc/stat — hypervisor steal is the
+    * dominant noise source on this host (identical runs measured 2-3×
+    * apart; a pure-CPU calibration scales at 0.95, so the variance is
+    * external). Exposed per measurement so the scaling numbers carry
+    * their own quality signal. */
+  private def cpuStat(): (Long, Long) = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try {
+      val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } finally src.close()
+  } catch { case _: Throwable => (0L, 1L) }
+
   private def timeDedup(cores: Int, partitions: Int, sfDir: String,
-                        synthetic: Int): (Long, Double) = {
+                        synthetic: Int): (Long, Double, Double) = {
     val spark = session(cores, partitions)
     try {
       val input = corpus(spark, sfDir, synthetic).cache()
       val n = input.count() // materialise input outside the timed window
+      val (s0, t0ticks) = cpuStat()
       val t0 = System.nanoTime()
       val out = DedupPipeline.run(input, DedupConfig())
       out.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      val (s1, t1ticks) = cpuStat()
+      val stealPct =
+        if (t1ticks > t0ticks) 100.0 * (s1 - s0) / (t1ticks - t0ticks) else 0.0
       input.unpersist()
-      (n, sec)
+      (n, sec, stealPct)
     } finally spark.stop()
   }
 
@@ -112,13 +129,28 @@ object Bench {
     // The sandbox VM shows hypervisor steal spikes (±30% wall); min of
     // `reps` runs per level filters them out of the scaling signal. ----
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
+    val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL")
+      .map(_.toDouble).getOrElse(5.0)
     timeDedup(cpusN, parts(cpusN), sfDir, math.min(2000, synthetic)) // JIT warmup
     timeDedup(cpus4N, parts(cpus4N), sfDir, math.min(2000, synthetic))
-    def best(cores: Int): (Long, Double) =
-      (1 to reps).map(_ => timeDedup(cores, parts(cores), sfDir, synthetic))
-        .minBy(_._2)
-    val (docsN, secN) = best(cpusN)
-    val (docs4N, sec4N) = best(cpus4N)
+    // steal-aware min-of-reps: a rep measured under > maxSteal% steal is
+    // measuring the hypervisor's neighbours, not this pipeline — retry
+    // (bounded) until `reps` clean samples exist, then take the fastest
+    def best(cores: Int): (Long, Double, Double, Int) = {
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+      var attempts = 0
+      while (attempts < reps + 2 &&
+             samples.count(_._3 <= maxSteal) < reps) {
+        samples += timeDedup(cores, parts(cores), sfDir, synthetic)
+        attempts += 1
+      }
+      val clean = samples.filter(_._3 <= maxSteal)
+      val pool = if (clean.nonEmpty) clean else samples
+      val (n, sec, steal) = pool.minBy(_._2)
+      (n, sec, steal, attempts)
+    }
+    val (docsN, secN, stealN, attN) = best(cpusN)
+    val (docs4N, sec4N, steal4N, att4N) = best(cpus4N)
     val thrN = docsN / secN
     val thr4N = docs4N / sec4N
     val eff = thr4N / (4.0 * thrN)
@@ -135,8 +167,10 @@ object Bench {
       s""""dedup":{"docs":$docs4N,""" +
       s""""cores_n":$cpusN,"sec_n":${"%.2f".format(secN)},""" +
       s""""thr_n":${"%.1f".format(thrN)},""" +
+      s""""steal_n_pct":${"%.1f".format(stealN)},"attempts_n":$attN,""" +
       s""""cores_4n":$cpus4N,"sec_4n":${"%.2f".format(sec4N)},""" +
       s""""thr_4n":${"%.1f".format(thr4N)},""" +
+      s""""steal_4n_pct":${"%.1f".format(steal4N)},"attempts_4n":$att4N,""" +
       s""""scaling_efficiency":${"%.3f".format(eff)}}}""")
   }
 }

@@ -69,6 +69,42 @@ object TfIdf {
    * with the hashing trick OOV cannot occur).
    * Output: docs' columns + `tfidf` ArrayType(Struct(term, weight)).
    */
+  /** Fitted TF-IDF model: the idf weight table + corpus doc count —
+    * the state the reference binary-serialises (DIA diagonal + shape,
+    * `/root/reference/weightings.go:97-116`). Save/Load round-trips as
+    * a parquet table + JSON manifest with the same atomic-rename commit
+    * as the other model artifacts; a loaded model reproduces the
+    * fitted model's weights exactly (`weightings_test.go:123-155`). */
+  final case class TfIdfModel(idf: DataFrame, numDocs: Long) {
+    def transform(docs: DataFrame, docIdCol: String, entriesCol: String): DataFrame =
+      applyIdf(docs, docIdCol, entriesCol, idf)
+
+    def save(path: String): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      idf.write.mode("overwrite").parquet(s"$path/idf.parquet")
+      val tmp = Paths.get(path, ".model.json.tmp")
+      Files.createDirectories(Paths.get(path))
+      Files.writeString(tmp, s"""{"numDocs":$numDocs}""")
+      Files.move(tmp, Paths.get(path, "model.json"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  object TfIdfModel {
+    def load(spark: org.apache.spark.sql.SparkSession, path: String): TfIdfModel = {
+      val json = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(path, "model.json"))
+      val n = """"numDocs":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+      TfIdfModel(spark.read.parquet(s"$path/idf.parquet"), n)
+    }
+  }
+
+  /** Fit a [[TfIdfModel]] from (docIdCol, tokens). */
+  def fit(docs: DataFrame, tokens: Column): TfIdfModel = {
+    val n = docs.count()
+    TfIdfModel(idf(docFreq(docs, tokens), n), n)
+  }
+
   def applyIdf(docs: DataFrame, docIdCol: String, entriesCol: String,
                idfTable: DataFrame): DataFrame = {
     val exploded = docs.select(col(docIdCol), explode(col(entriesCol)).as("e"))

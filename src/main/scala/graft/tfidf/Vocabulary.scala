@@ -10,24 +10,49 @@ import org.apache.spark.sql.expressions.Window
  * (`/root/reference/vectorisers.go:159-181`): doc order first, token
  * position within doc second; a refit discards the old vocabulary.
  *
- * This is the small-scale path; at web scale the stateless hashing
- * trick (P5, [[graft.hash.Murmur3Go]]) replaces it exactly as the
- * reference intends (`vectorisers.go:215-230`) — a 10^12-doc global
- * ordered vocabulary would serialise on the final rank.
- *
- * @param docs    corpus with an ordering column and a tokens column
- * @param docOrd  column giving the corpus scan order of each doc
+ * At web scale the stateless hashing trick (P5,
+ * [[graft.hash.Murmur3Go]]) replaces the fitted vocabulary exactly as
+ * the reference intends (`vectorisers.go:215-230`); when a fitted
+ * vocabulary IS wanted, the dense rank below is fully distributed.
  */
 object Vocabulary {
+
+  /**
+   * Distributed dense rank 0..n−1 of `df` by `key`: range-partition on
+   * the key (global order across partitions), count per partition (ONE
+   * small job — a Long per partition), then per-partition windows with
+   * broadcast prefix offsets. Replaces the single-partition global
+   * window that was this repo's only serial operator.
+   */
+  def denseRank(df: DataFrame, key: Column, parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, key.asc)
+      .withColumn("__pid", spark_partition_id())
+    // bounded collect: one row per partition
+    val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) =>
+      val o = (pid, acc); acc += c; o
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets.toSeq)
+      .toDF("__pid", "__off"))
+    ranged.join(offDf, "__pid")
+      .withColumn("id",
+        row_number().over(Window.partitionBy(col("__pid")).orderBy(key.asc))
+          + col("__off") - 1)
+      .drop("__pid", "__off")
+  }
+
   def fit(docs: DataFrame, docOrd: Column, tokens: Column): DataFrame = {
     val first = docs
       .select(docOrd.as("d"), posexplode(tokens).as(Seq("p", "term")))
       .groupBy("term")
       .agg(min(struct(col("d"), col("p"))).as("first"))
-    // global ordered rank: single-partition window — correct but serial,
-    // acceptable for the bounded vocabularies this path is meant for
-    first.withColumn("id",
-        row_number().over(Window.orderBy(col("first"))) - 1)
-      .select(col("term"), col("id"))
+    // reference ids are ints (`vectorisers.go:139`); vocabularies this
+    // path serves are int-bounded by construction
+    denseRank(first, col("first"))
+      .select(col("term"), col("id").cast("int").as("id"))
   }
 }

@@ -68,4 +68,26 @@ class TfIdfSpec extends AnyFunSuite with SparkSpec {
       assert(math.abs(gotMap.getOrElse(k, 0.0) - v) < 0.001, s"$k")
     }
   }
+
+  test("fitted model Save/Load round trip (weightings_test.go:123-155)") {
+    import spark.implicits._
+    val dfTable = docsDf.select(explode($"entries").as("e"))
+      .select($"e.term".as("term")).groupBy("term").agg(count(lit(1)).as("df"))
+    val model = TfIdf.TfIdfModel(TfIdf.idf(dfTable, 4L), 4L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    model.save(dir)
+    val loaded = TfIdf.TfIdfModel.load(spark, dir)
+    assert(loaded.numDocs == 4L)
+    // idf table round-trips exactly (reference asserts DIA equality)
+    val a = model.idf.as[(Long, Double)].collect().toMap
+    val b = loaded.idf.as[(Long, Double)].collect().toMap
+    assert(a == b)
+    // load-and-reuse: weights from the loaded model match the fitted one
+    def weights(m: TfIdf.TfIdfModel) =
+      m.transform(docsDf, "doc_id", "entries")
+        .select($"doc_id", explode($"tfidf").as("e"))
+        .select($"e.term", $"doc_id", $"e.weight").as[(Long, Long, Double)]
+        .collect().map { case (t, d, w) => ((t, d), w) }.toMap
+    assert(weights(model) == weights(loaded))
+  }
 }
