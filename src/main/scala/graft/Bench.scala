@@ -22,7 +22,12 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", partitions.toString)
       .config("spark.default.parallelism", partitions.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE is configurable for the dedup phase: skew is handled
+      // explicitly in this pipeline (chain pairing, hot-shingle/anchor
+      // drops), and AQE's per-query-stage materialisation barriers add
+      // scheduling floor to an iterative multi-stage job
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true") // skew backstop
       // at production scale the corpus-side joins are shuffle joins (no
       // corpus table fits the broadcast threshold); a high threshold at
@@ -68,6 +73,36 @@ object Bench {
       (if (f.length > 7) f(7) else 0L, f.sum)
     } finally src.close()
   } catch { case _: Throwable => (0L, 1L) }
+
+  /** Memory-BANDWIDTH canary (~0.1 s): 8 threads streaming read+write
+    * over 32 MB buffers. Identical back-to-back pipeline runs on this
+    * host measured 3× apart in total task time with ZERO reported
+    * steal, flat GC and a HEALTHY single-thread CPU canary — the
+    * contended resource is memory bandwidth (a direct probe measured it
+    * oscillating 29-100 GB/s on a seconds scale), which a shuffle-heavy
+    * 32-thread Spark phase is bound by while an 8-thread one is not:
+    * exactly the asymmetry that corrupts an N-vs-4N scaling
+    * measurement. Reps taken in a low-bandwidth window are retried. */
+  private lazy val canaryBufs = Array.fill(32)(new Array[Long](4 << 20))
+  private def canaryGbps(nThreads: Int = 8): Double = {
+    val t0 = System.nanoTime()
+    val threads = canaryBufs.take(nThreads).map { buf =>
+      val t = new Thread(() => {
+        var s = 0L
+        var pass = 0
+        while (pass < 4) {
+          var j = 0
+          while (j < buf.length) { s += buf(j); buf(j) = s; j += 1 }
+          pass += 1
+        }
+        if (s == 42L) System.err.print("")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val gb = nThreads * 4.0 * 32 * 2 / 1024 // read+write GB
+    gb / ((System.nanoTime() - t0) / 1e9)
+  }
 
   private def timeDedup(cores: Int, partitions: Int, sfDir: String,
                         synthetic: Int): (Long, Double, Double) = {
@@ -131,26 +166,60 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
     val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL")
       .map(_.toDouble).getOrElse(5.0)
+    val maxSlow = sys.env.get("SPARK_GRAFT_BENCH_MAX_SLOWDOWN")
+      .map(_.toDouble).getOrElse(1.3)
     timeDedup(cpusN, parts(cpusN), sfDir, math.min(2000, synthetic)) // JIT warmup
     timeDedup(cpus4N, parts(cpus4N), sfDir, math.min(2000, synthetic))
-    // steal-aware min-of-reps: a rep measured under > maxSteal% steal is
-    // measuring the hypervisor's neighbours, not this pipeline — retry
-    // (bounded) until `reps` clean samples exist, then take the fastest
-    def best(cores: Int): (Long, Double, Double, Int) = {
-      val samples = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    canaryGbps() // canary JIT warmup
+    // running max over ALL canary readings — the initial calibration can
+    // itself land in a degraded window, and a stale "best" makes every
+    // later slowdown ratio meaningless
+    var canaryBest = (1 to 5).map(_ => canaryGbps()).max
+    // host bandwidth-scaling calibration: how much MORE total bandwidth
+    // 4N streaming threads get than N on this box. A shuffle-heavy job
+    // cannot scale past this ceiling on a single shared memory
+    // controller — a real 4N-executor cluster brings 4N controllers.
+    // Reported in the JSON as context for the efficiency number.
+    val bwN = (1 to 3).map(_ => canaryGbps(cpusN)).max
+    val bw4N = (1 to 3).map(_ => canaryGbps(cpus4N)).max
+    canaryBest = canaryBest.max(bwN).max(bw4N / 4)
+    val hostBwScale = bw4N / bwN
+    // retry-until-clean, min-of-ALL: host contention (steal, bandwidth
+    // sag) can only INFLATE wall time, never deflate it, so the fastest
+    // sample is always the most faithful one regardless of its window —
+    // the steal/slowdown gates drive the RETRY decision (keep sampling
+    // until `reps` clean windows were seen), not the selection.
+    // total wall budget for ALL dedup measurements: the retry loop must
+    // never push the bench past the driver's patience — when the budget
+    // is spent, existing samples are used as-is
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(900.0)
+    val tBudget0 = System.nanoTime()
+    def budgetLeft: Boolean = (System.nanoTime() - tBudget0) / 1e9 < budgetSec
+    def best(cores: Int): (Long, Double, Double, Double, Int) = {
+      // (docs, sec, stealPct, minEndpointBw)
+      val samples =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
       var attempts = 0
-      while (attempts < reps + 2 &&
-             samples.count(_._3 <= maxSteal) < reps) {
-        samples += timeDedup(cores, parts(cores), sfDir, synthetic)
+      def clean = samples.filter(s =>
+        s._3 <= maxSteal && canaryBest / s._4 <= maxSlow)
+      while (attempts < reps + 3 && clean.size < reps &&
+             (budgetLeft || samples.isEmpty)) {
+        val c0 = canaryGbps()
+        val (n, sec, steal) = timeDedup(cores, parts(cores), sfDir, synthetic)
+        val c1 = canaryGbps()
+        canaryBest = canaryBest.max(c0).max(c1)
+        samples += ((n, sec, steal, math.min(c0, c1)))
         attempts += 1
+        System.err.println(f"[bench] cores=$cores attempt=$attempts " +
+          f"sec=$sec%.2f steal=$steal%.1f%% bw=${math.min(c0, c1)}%.0f" +
+          f"/${canaryBest}%.0f GB/s")
       }
-      val clean = samples.filter(_._3 <= maxSteal)
-      val pool = if (clean.nonEmpty) clean else samples
-      val (n, sec, steal) = pool.minBy(_._2)
-      (n, sec, steal, attempts)
+      val (n, sec, steal, bw) = samples.minBy(_._2)
+      (n, sec, steal, canaryBest / bw, attempts)
     }
-    val (docsN, secN, stealN, attN) = best(cpusN)
-    val (docs4N, sec4N, steal4N, att4N) = best(cpus4N)
+    val (docsN, secN, stealN, slowN, attN) = best(cpusN)
+    val (docs4N, sec4N, steal4N, slow4N, att4N) = best(cpus4N)
     val thrN = docsN / secN
     val thr4N = docs4N / sec4N
     val eff = thr4N / (4.0 * thrN)
@@ -167,10 +236,13 @@ object Bench {
       s""""dedup":{"docs":$docs4N,""" +
       s""""cores_n":$cpusN,"sec_n":${"%.2f".format(secN)},""" +
       s""""thr_n":${"%.1f".format(thrN)},""" +
-      s""""steal_n_pct":${"%.1f".format(stealN)},"attempts_n":$attN,""" +
+      s""""steal_n_pct":${"%.1f".format(stealN)},""" +
+      s""""slowdown_n":${"%.2f".format(slowN)},"attempts_n":$attN,""" +
       s""""cores_4n":$cpus4N,"sec_4n":${"%.2f".format(sec4N)},""" +
       s""""thr_4n":${"%.1f".format(thr4N)},""" +
-      s""""steal_4n_pct":${"%.1f".format(steal4N)},"attempts_4n":$att4N,""" +
+      s""""steal_4n_pct":${"%.1f".format(steal4N)},""" +
+      s""""slowdown_4n":${"%.2f".format(slow4N)},"attempts_4n":$att4N,""" +
+      s""""host_bw_scale_n_to_4n":${"%.2f".format(hostBwScale)},""" +
       s""""scaling_efficiency":${"%.3f".format(eff)}}}""")
   }
 }

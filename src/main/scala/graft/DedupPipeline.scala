@@ -90,17 +90,32 @@ object DedupPipeline {
   /** Stage 2a — exact-dup edges + one representative per distinct text.
     * Returns (edges(a, b), reps). Reference has no exact stage; it falls
     * out of dedup-at-scale practice (identical pages collapse before any
-    * signature work). */
+    * signature work).
+    *
+    * Bandwidth shape: the canon window runs over a SLIM
+    * (doc_id, text_hash) projection — 48 bytes/doc through the exchange
+    * instead of the full extracted row (text+norm+tokens+shingles,
+    * ~4-6 KB/doc; the fat variant moved ~2 GB at 375k docs and this
+    * host's memory bandwidth is both the 32-thread bottleneck and the
+    * main external-noise coupling). Representatives are then selected
+    * from the (cached) extracted frame by a semi-join on the canon-id
+    * set — broadcast when the set is small enough (corpus-count guard),
+    * shuffle otherwise; either way the fat columns never ride the
+    * text_hash exchange. */
   def exactDedup(extracted: DataFrame): (DataFrame, DataFrame) = {
     import extracted.sparkSession.implicits._
-    // one shuffle: window min over the hash group replaces the
-    // groupBy + join round-trip (same exchange serves both outputs)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
-    val withCanon = extracted.withColumn("canon_id", min("doc_id").over(w))
+    val withCanon = extracted.select($"doc_id", $"text_hash")
+      .withColumn("canon_id", min("doc_id").over(w))
     val edges = withCanon.filter($"doc_id" =!= $"canon_id")
       .select($"canon_id".as("a"), $"doc_id".as("b"))
-    val reps = withCanon.filter($"doc_id" === $"canon_id")
-      .drop("canon_id")
+    // drop the DUPLICATE COPIES (the minority side by construction —
+    // the broadcast build is the dup-id set, not the corpus; a corpus
+    // so dominated by exact mirrors that the dup set itself outgrows
+    // broadcast should drop the hint and let the planner shuffle)
+    val reps = extracted.join(
+      edges.select($"b".as("doc_id")).hint("broadcast"),
+      Seq("doc_id"), "left_anti")
     (edges, reps)
   }
 
@@ -113,13 +128,13 @@ object DedupPipeline {
   case class CorpusStats(n: Long, idfTerms: Array[Long],
                          idfVals: Array[Double], hotShingles: Array[Long])
 
-  /** Adds the hashed-tf column, declaring CPU parallelism explicitly:
-    * upstream AQE coalesces the (tiny-bytes) exact-dedup shuffle to few
-    * partitions, which would serialise the CPU-heavy signature work —
-    * bytes are not proportional to CPU here. */
+  /** Adds the hashed-tf column. Narrow: parallelism comes from the
+    * extract-stage balancing repartition in [[run]] (reps is a
+    * broadcast anti-join of the cached extract, so its partitioning IS
+    * extract's) — an explicit repartition here would be a second fat
+    * shuffle of tokens+shingles for nothing. */
   def withTf(reps: DataFrame, cfg: DedupConfig): DataFrame =
-    reps.repartition(reps.sparkSession.sparkContext.defaultParallelism)
-      .withColumn("tf", HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
+    reps.withColumn("tf", HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
 
   /**
    * Fit [[CorpusStats]] in ONE job / one corpus pass: term df, doc count
@@ -217,12 +232,19 @@ object DedupPipeline {
     * over SimHash ≤ maxHamming bits. */
   def verifyPairs(cands: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
     import cands.sparkSession.implicits._
-    val side = sigs.select(col("doc_id"), col("shingles"), col("simhash"))
+    // only docs that appear in some candidate pair need their shingle
+    // arrays in the verify joins — semi-filter sigs on the (small,
+    // broadcastable) candidate-member id set first, so the two doc_id
+    // exchanges ship |members| rows of arrays instead of the whole
+    // corpus (at 375k docs that was ~2×700 MB of shingles through the
+    // shuffle to verify a few thousand pairs)
+    val memberIds = cands.select($"a".as("doc_id"))
+      .union(cands.select($"b".as("doc_id"))).distinct()
+    val side = sigs
+      .join(memberIds.hint("broadcast"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("shingles"), col("simhash"))
     val a = side.toDF("a", "sh_a", "sig_a")
     val b = side.toDF("b", "sh_b", "sig_b")
-    // the doc_id joins shuffle both sides (sigs exceed the broadcast
-    // threshold at any real scale); their exchanges set the parallelism
-    // of the per-pair set-intersection work
     cands.join(a, "a").join(b, "b")
       .withColumn("jaccard", Measures.jaccard($"sh_a", $"sh_b"))
       .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
@@ -245,7 +267,24 @@ object DedupPipeline {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => df
     }
-    val extracted = shared(store.stage("extract") { extract(pages, cfg) })
+    // ONE fat exchange for the whole pipeline: balance the corpus over
+    // the cluster here, cache it, and keep everything downstream either
+    // narrow on these partitions or shuffling slim projections — at 375k
+    // docs the previous shape (fat canon window + fat CPU repartition)
+    // moved the multi-KB rows twice more; on this host memory bandwidth
+    // is the 32-thread bottleneck, so exchange bytes ARE wall time
+    val extracted = shared(store.stage("extract") {
+      extract(pages.repartition(
+        pages.sparkSession.sparkContext.defaultParallelism), cfg)
+        // compute the hashed tf HERE and cache it instead of the raw
+        // token array: downstream only ever reads tf (signatures,
+        // stats), norm (substring pass), text_hash (exact dedup) and
+        // url/doc_id (final join) — raw text and tokens would double
+        // the cached bytes, and cache traffic is memory bandwidth,
+        // the 32-thread bottleneck on this host
+        .withColumn("tf", HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
+        .select("url", "doc_id", "tf", "norm", "text_hash", "shingles")
+    })
     val (exactEdges0, reps0) = exactDedup(extracted)
     val exactEdges = store.stage("exact_edges", Seq("extract")) { exactEdges0 }
     val reps = shared(store.stage("reps", Seq("extract")) { reps0 })
@@ -254,10 +293,16 @@ object DedupPipeline {
     // repartition and the band exchanges would multiply shuffle volume
     // for nothing (text+norm ≈ 2× the tokens+shingles bytes, measured)
     val sigs = shared(store.stage("signatures", Seq("reps")) {
-      signatures(reps.select("doc_id", "tokens", "shingles"), cfg)
+      val tfd = reps.select("doc_id", "tf", "shingles")
+      applySignatures(tfd, fitCorpusStats(tfd, cfg), cfg)
         .select(col("doc_id"), col("minhash"), col("simhash"), col("shingles"))
     })
-    val cands = store.stage("candidates", Seq("signatures")) { candidates(sigs, cfg) }
+    // shared: verifyPairs reads the pair set three times (two member-id
+    // projections + the join itself) — without a cut the whole band
+    // DAG would re-execute per consumer
+    val cands = shared(store.stage("candidates", Seq("signatures")) {
+      candidates(sigs, cfg)
+    })
     val verified = store.stage("verified", Seq("candidates", "signatures")) {
       val jaccardVerified = verifyPairs(cands, sigs, cfg)
       if (cfg.enableSimhashBands)

@@ -193,7 +193,8 @@ case class RandomProject(child: Expression, k: Int) extends UnaryExpression {
  * skey order, so near-identical docs stay connected) — O(n·chainWidth)
  * instead of O(n²), the hot-bucket skew bound of the north rule.
  */
-case class PairGen(child: Expression, maxBucket: Int, chainWidth: Int)
+case class PairGen(child: Expression, maxBucket: Int, chainWidth: Int,
+                   dropAbove: Int = Int.MaxValue)
   extends UnaryExpression {
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("a", LongType, nullable = false),
@@ -201,20 +202,31 @@ case class PairGen(child: Expression, maxBucket: Int, chainWidth: Int)
     containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any =
-    PairGen.gen(v.asInstanceOf[ArrayData], maxBucket, chainWidth)
+    PairGen.gen(v.asInstanceOf[ArrayData], maxBucket, chainWidth, dropAbove)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.hash.PairGen.gen($c, $maxBucket, $chainWidth)")
+      c => s"graft.hash.PairGen.gen($c, $maxBucket, $chainWidth, $dropAbove)")
   override protected def withNewChildInternal(c: Expression): PairGen = copy(child = c)
   override def prettyName: String = "pair_gen"
 }
 
 object PairGen {
-  def gen(members: ArrayData, maxBucket: Int, chainWidth: Int): ArrayData = {
+  /** @param dropAbove buckets larger than this emit NO pairs — the
+    *   boilerplate bound: a key shared by more than `dropAbove` docs is
+    *   corpus-wide boilerplate, not a duplicate class (the substring
+    *   stage's hot-anchor case: one template sentence shared by ~100k
+    *   pages put 100k members through a single reducer, a measured
+    *   ~20 s straggler — and the resulting "pairs" would connect
+    *   unrelated pages on a common footer anyway). Callers wanting the
+    *   chain-pairing behaviour for large buckets (LSH bands, where the
+    *   df-conditioned shingle filter already bounds bucket meaning)
+    *   leave it at MaxValue. */
+  def gen(members: ArrayData, maxBucket: Int, chainWidth: Int,
+          dropAbove: Int = Int.MaxValue): ArrayData = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val n = members.numElements()
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    if (n < 2 || n > dropAbove) return new GenericArrayData(Array.empty[Any])
     // sort by (skey, id) with primitive longs — a sort_array over the
     // struct array upstream (or a boxed comparator here) runs a boxing
     // Ordering that stack-sampling showed dominating skewed-bucket
@@ -398,8 +410,9 @@ object HashFunctions {
     col(HashedTf(expr(tokens), numFeatures))
   def hashedShingles(tokens: Column, w: Int): Column =
     col(HashedShingles(expr(tokens), w))
-  def pairGen(members: Column, maxBucket: Int, chainWidth: Int): Column =
-    col(PairGen(expr(members), maxBucket, chainWidth))
+  def pairGen(members: Column, maxBucket: Int, chainWidth: Int,
+              dropAbove: Int = Int.MaxValue): Column =
+    col(PairGen(expr(members), maxBucket, chainWidth, dropAbove))
   def filterNotIn(arr: Column, dropSorted: Array[Long]): Column =
     col(FilterNotIn(expr(arr), dropSorted))
   def statsEntries(tf: Column, shingles: Column): Column =

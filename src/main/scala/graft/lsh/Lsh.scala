@@ -174,7 +174,8 @@ object Lsh {
    */
   def candidatePairs(buckets: DataFrame, docId: String,
                      maxBucket: Int, chainWidth: Int,
-                     hardCap: Int = 100000): DataFrame = {
+                     hardCap: Int = 100000,
+                     dropAbove: Int = Int.MaxValue): DataFrame = {
     import buckets.sparkSession.implicits._
     val skey: Column =
       if (buckets.columns.contains("skey")) col("skey") else col(docId)
@@ -184,7 +185,7 @@ object Lsh {
         col(docId).as("id"))), 1, hardCap).as("members"))
     grouped
       .select(explode(graft.hash.HashFunctions.pairGen(
-        $"members", maxBucket, chainWidth)).as("p"))
+        $"members", maxBucket, chainWidth, dropAbove)).as("p"))
       .select($"p.a", $"p.b")
       .distinct()
   }

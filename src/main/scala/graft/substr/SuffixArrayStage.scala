@@ -184,7 +184,7 @@ object SuffixArrayStage {
    */
   def substringEdges(docs: DataFrame, docIdCol: String, textCol: String,
                      minRun: Int, maxBucket: Int = 64,
-                     chainWidth: Int = 3): DataFrame = {
+                     chainWidth: Int = 3, hotAnchorDf: Int = 1024): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = math.max(8, minRun / 2)
@@ -196,8 +196,27 @@ object SuffixArrayStage {
     val buckets = base.select(col("doc_id"), explode(
         graft.hash.HashFunctions.winnow(col("__text"), k, window)).as("key"))
       .withColumn("band", lit(2000))
+    // hot-anchor drop (the df-conditioned-shingling pattern applied to
+    // anchors): a fingerprint shared by > hotAnchorDf docs is
+    // corpus-wide BOILERPLATE, not substring duplication — its pairs
+    // would connect unrelated pages on a common template sentence, and
+    // its bucket is a single-reducer straggler (100k members through
+    // one collect_list measured ~20 s). The count agg is map-combined
+    // and its output is key-cardinality-bounded; the survivor list is
+    // tiny (few boilerplate runs), logged, and dropped MAP-SIDE so the
+    // members never reach the shuffle.
+    val hot = buckets.groupBy(col("key")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > hotAnchorDf).select(col("key"))
+      .collect().map(_.getLong(0))
+    if (hot.nonEmpty)
+      System.err.println(s"[graft] substring pass dropping ${hot.length} " +
+        s"boilerplate anchors with df > $hotAnchorDf")
+    val kept =
+      if (hot.isEmpty) buckets
+      else buckets.filter(!col("key").isInCollection(hot))
     val cands = graft.lsh.Lsh.candidatePairs(
-      buckets.select("doc_id", "band", "key"), "doc_id", maxBucket, chainWidth)
+      kept.select("doc_id", "band", "key"), "doc_id", maxBucket, chainWidth,
+      dropAbove = hotAnchorDf)
 
     // exact SA verification per candidate pair. The repartition AFTER
     // the joins is load-bearing: AQE coalesces the join output by bytes
