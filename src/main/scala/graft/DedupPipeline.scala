@@ -44,6 +44,15 @@ case class DedupConfig(
   hotShingleMinDf: Int = 8,
   hotShingleDfFrac: Double = 0.001,
   hotShingleCap: Int = 1 << 20,
+  // broadcast guard for the two id-set joins (exact-dup copies,
+  // candidate members): a hint("broadcast") is only attached when the
+  // MEASURED id count is below this limit (16.7M ids ≈ 135 MB on the
+  // driver); above it the planner picks a shuffle join. At the north
+  // rule's 10^12-doc operating point both sets are in the billions —
+  // an unguarded hint would OOM the driver, and the guard count is a
+  // cheap job over an already-cached slim frame (or a parquet
+  // metadata-only count on the resume path).
+  broadcastIdLimit: Long = 16L << 20,
   stopWords: Seq[String] = Nil) {
   require(minhashPerms == bands * rows,
     s"signature length $minhashPerms must equal bands*rows (${bands * rows}); " +
@@ -57,12 +66,19 @@ case class DedupConfig(
  * components [+ suffix-array substring pass] → (url, cluster).
  *
  * Scale shape (10^12 docs): the corpus-sized shuffles are
- *  (1) exact-dup grouping on md5(norm_text),
- *  (2) the explicit CPU repartition before the signature kernels,
+ *  (1) the balancing repartition of raw (url, text) pages feeding
+ *      extract — the ONLY exchange that ships full text; the extract
+ *      output is cached as a slim projection and every later exchange
+ *      is either slim (ids/hashes) or filtered (candidate members),
+ *  (2) the exact-dup canon window on a (doc_id, text_hash) projection,
  *  (3) the corpus-stats df aggregation (one explode pass, map-side
  *      partial agg; yields idf + doc count + hot-shingle list together),
  *  (4) the band-bucket exchange (the distributed LSH hash table),
- *  (5) the winnow-anchor exchange of the substring pass (if enabled).
+ *  (5) the winnow-anchor exchange of the substring pass (if enabled)
+ *      plus its key-bounded hot-anchor df aggregation,
+ *  and, past [[DedupConfig.broadcastIdLimit]], the two guarded id-set
+ *  joins (dup-id anti-join, member semi-join) fall back from broadcast
+ *  to one corpus-sized doc_id shuffle each.
  * All are linear in corpus size with map-side combine where applicable.
  * Everything else is per-row codegen'd expression work; the verify
  * join and CC loop run on candidate pairs, which LSH keeps ≪ n².
@@ -103,20 +119,33 @@ object DedupPipeline {
     * shuffle otherwise; either way the fat columns never ride the
     * text_hash exchange. */
   def exactDedup(extracted: DataFrame): (DataFrame, DataFrame) = {
+    val edges = exactDupEdges(extracted)
+    (edges, exactDupReps(extracted, edges, broadcastDups = true))
+  }
+
+  /** Exact-dup edges alone (the slim canon window). */
+  def exactDupEdges(extracted: DataFrame): DataFrame = {
     import extracted.sparkSession.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy("text_hash")
     val withCanon = extracted.select($"doc_id", $"text_hash")
       .withColumn("canon_id", min("doc_id").over(w))
-    val edges = withCanon.filter($"doc_id" =!= $"canon_id")
+    withCanon.filter($"doc_id" =!= $"canon_id")
       .select($"canon_id".as("a"), $"doc_id".as("b"))
-    // drop the DUPLICATE COPIES (the minority side by construction —
-    // the broadcast build is the dup-id set, not the corpus; a corpus
-    // so dominated by exact mirrors that the dup set itself outgrows
-    // broadcast should drop the hint and let the planner shuffle)
-    val reps = extracted.join(
-      edges.select($"b".as("doc_id")).hint("broadcast"),
+  }
+
+  /** Representatives: drop the DUPLICATE COPIES (edge `b` side) from the
+    * extracted frame. `broadcastDups` must be decided from the MEASURED
+    * dup count against [[DedupConfig.broadcastIdLimit]] (see [[run]]) —
+    * a web corpus's exact-mirror population at 10^12 docs is in the
+    * billions, far past any broadcastable size, and the anti-join then
+    * has to be a planner-chosen shuffle join. */
+  def exactDupReps(extracted: DataFrame, edges: DataFrame,
+                   broadcastDups: Boolean): DataFrame = {
+    import extracted.sparkSession.implicits._
+    val dupIds = edges.select($"b".as("doc_id"))
+    extracted.join(
+      if (broadcastDups) dupIds.hint("broadcast") else dupIds,
       Seq("doc_id"), "left_anti")
-    (edges, reps)
   }
 
   /** Fitted corpus statistics driving the signature stage: doc count,
@@ -230,18 +259,24 @@ object DedupPipeline {
     * (`/root/reference/index.go:198-255` semantics: true-metric check on
     * retrieved candidates): Jaccard over shingle sets ≥ τ, OR Hamming
     * over SimHash ≤ maxHamming bits. */
-  def verifyPairs(cands: DataFrame, sigs: DataFrame, cfg: DedupConfig): DataFrame = {
+  def verifyPairs(cands: DataFrame, sigs: DataFrame, cfg: DedupConfig,
+                  broadcastMembers: Boolean = true): DataFrame = {
     import cands.sparkSession.implicits._
     // only docs that appear in some candidate pair need their shingle
-    // arrays in the verify joins — semi-filter sigs on the (small,
-    // broadcastable) candidate-member id set first, so the two doc_id
-    // exchanges ship |members| rows of arrays instead of the whole
-    // corpus (at 375k docs that was ~2×700 MB of shingles through the
-    // shuffle to verify a few thousand pairs)
-    val memberIds = cands.select($"a".as("doc_id"))
+    // arrays in the verify joins — semi-filter sigs on the candidate-
+    // member id set first, so the two doc_id exchanges ship |members|
+    // rows of arrays instead of the whole corpus (at 375k docs that was
+    // ~2×700 MB of shingles through the shuffle to verify a few
+    // thousand pairs). `broadcastMembers` comes from the measured pair
+    // count vs broadcastIdLimit (see run()): past the limit the
+    // semi-join is a planner-chosen shuffle join — one fat exchange of
+    // sigs instead of two, never a driver-side build of a giant id set.
+    val memberIds0 = cands.select($"a".as("doc_id"))
       .union(cands.select($"b".as("doc_id"))).distinct()
+    val memberIds = if (broadcastMembers) memberIds0.hint("broadcast")
+                    else memberIds0
     val side = sigs
-      .join(memberIds.hint("broadcast"), Seq("doc_id"), "left_semi")
+      .join(memberIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("shingles"), col("simhash"))
     val a = side.toDF("a", "sh_a", "sig_a")
     val b = side.toDF("b", "sh_b", "sig_b")
@@ -285,9 +320,17 @@ object DedupPipeline {
         .withColumn("tf", HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
         .select("url", "doc_id", "tf", "norm", "text_hash", "shingles")
     })
-    val (exactEdges0, reps0) = exactDedup(extracted)
-    val exactEdges = store.stage("exact_edges", Seq("extract")) { exactEdges0 }
-    val reps = shared(store.stage("reps", Seq("extract")) { reps0 })
+    val exactEdges = shared(store.stage("exact_edges", Seq("extract")) {
+      exactDupEdges(extracted)
+    })
+    // broadcast guard: measured dup count, one cheap job over the slim
+    // persisted edge frame (16 B/dup) that also pre-materialises it for
+    // its two later consumers (reps anti-join build, final edge union);
+    // on the resume path this is a parquet metadata-only count
+    val nDups = exactEdges.count()
+    val reps = shared(store.stage("reps", Seq("extract")) {
+      exactDupReps(extracted, exactEdges, nDups <= cfg.broadcastIdLimit)
+    })
     // slim to what downstream stages read: banding needs the signatures,
     // verify needs shingles — carrying text/norm/url through the CPU
     // repartition and the band exchanges would multiply shuffle volume
@@ -303,8 +346,12 @@ object DedupPipeline {
     val cands = shared(store.stage("candidates", Seq("signatures")) {
       candidates(sigs, cfg)
     })
+    // member ids ≤ 2·pairs; the count doubles as the cache materialiser
+    // for the three reads below (resume path: parquet metadata count)
+    val nCands = cands.count()
     val verified = store.stage("verified", Seq("candidates", "signatures")) {
-      val jaccardVerified = verifyPairs(cands, sigs, cfg)
+      val jaccardVerified =
+        verifyPairs(cands, sigs, cfg, 2 * nCands <= cfg.broadcastIdLimit)
       if (cfg.enableSimhashBands)
         jaccardVerified.select($"a", $"b")
           .union(simhashEdges(sigs, cfg).select($"a", $"b"))

@@ -29,6 +29,37 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(labels.forall(_._2 == 0L), "single component, min label 0")
   }
 
+  test("broadcast-guard fallbacks: shuffle-join paths match broadcast paths") {
+    // at 10^12 docs the dup-id / candidate-member sets outgrow any
+    // broadcast; the guarded fallback (planner-chosen shuffle join)
+    // must be result-identical to the hinted fast path
+    val (pages, _) = SyntheticPages.generate(spark, 200)
+    val cfg = DedupConfig()
+    val ext = DedupPipeline.extract(pages.select("url", "text"), cfg)
+      .withColumn("tf",
+        graft.hash.HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
+      .select("url", "doc_id", "tf", "norm", "text_hash", "shingles")
+      .cache()
+    val edges = DedupPipeline.exactDupEdges(ext)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val repsB = ids(DedupPipeline.exactDupReps(ext, edges, broadcastDups = true))
+    val repsS = ids(DedupPipeline.exactDupReps(ext, edges, broadcastDups = false))
+    assert(repsB === repsS)
+    assert(repsB.size < 200 + 200 / 10) // dups actually collapsed
+
+    val tfd = ext.select("doc_id", "tf", "shingles")
+    val sigs = DedupPipeline.applySignatures(
+      tfd, DedupPipeline.fitCorpusStats(tfd, cfg), cfg)
+    val cands = DedupPipeline.candidates(sigs, cfg).cache()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verB = pairs(DedupPipeline.verifyPairs(cands, sigs, cfg, broadcastMembers = true))
+    val verS = pairs(DedupPipeline.verifyPairs(cands, sigs, cfg, broadcastMembers = false))
+    assert(verB === verS)
+    ext.unpersist(); cands.unpersist()
+  }
+
   test("hot bucket: chain pairing keeps every member connected") {
     import spark.implicits._
     // one bucket with 500 members, far above maxBucket=64
