@@ -360,7 +360,8 @@ object DedupPipeline {
     val substrEdges =
       if (cfg.enableSubstr)
         store.stage("substr_edges", Seq("reps")) {
-          SuffixArrayStage.substringEdges(reps, "doc_id", "norm", cfg.substrMinRun)
+          SuffixArrayStage.substringEdges(reps, "doc_id", "norm",
+            cfg.substrMinRun, broadcastIdLimit = cfg.broadcastIdLimit)
         }
       else pages.sparkSession.emptyDataset[(Long, Long)].toDF("a", "b")
     val edgesAll = exactEdges.select("a", "b")

@@ -1,0 +1,129 @@
+package graft.hash
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Bounded-memory bucket-member collection with an EXACT total count:
+ * `capped_collect(skey, id, cap)` returns
+ * `struct<members: array<struct<skey,id>>, total: long>` where
+ * `members` holds at most `cap` entries and `total` counts every row
+ * seen (a long increment, never buffered).
+ *
+ * This replaces `slice(collect_list(...), 1, cap)` in the LSH /
+ * anchor bucket aggregations (Lsh.candidatePairs). The slice variant
+ * bounds the OUTPUT but not the AGGREGATION BUFFER: a corpus-wide
+ * boilerplate key shared by 10^7+ documents at web scale accumulates
+ * every member on one reducer before the slice runs — an OOM, and the
+ * reason the substring pass previously paid a full extra
+ * anchor-cardinality shuffle + driver collect just to pre-drop hot
+ * keys map-side. With the buffer itself capped, partial aggregation
+ * bounds every map- and reduce-side buffer at `cap` entries, and the
+ * exact `total` lets callers drop boilerplate buckets
+ * (`total > dropAbove`) with no separate counting pass.
+ *
+ * Determinism: which `cap` members survive an over-cap bucket depends
+ * on partition arrival order — identical to the collect_list+slice
+ * semantics this replaces, and irrelevant in practice because callers
+ * drop over-cap buckets entirely (dropAbove ≤ cap) or treat members
+ * as an unordered sample (PairGen re-sorts by skey).
+ */
+case class CappedCollect(skeyExpr: Expression, idExpr: Expression, cap: Int,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedCollect.Buf] {
+
+  override def children: Seq[Expression] = Seq(skeyExpr, idExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = CappedCollect.outType
+  override def prettyName: String = "capped_collect"
+
+  override def createAggregationBuffer(): CappedCollect.Buf =
+    new CappedCollect.Buf(math.min(cap, 16))
+
+  override def update(b: CappedCollect.Buf, input: InternalRow): CappedCollect.Buf = {
+    val s = skeyExpr.eval(input)
+    val i = idExpr.eval(input)
+    b.total += 1L
+    if (s != null && i != null && b.n < cap)
+      b.append(s.asInstanceOf[Long], i.asInstanceOf[Long], cap)
+    b
+  }
+
+  override def merge(b: CappedCollect.Buf, o: CappedCollect.Buf): CappedCollect.Buf = {
+    b.total += o.total
+    var j = 0
+    while (j < o.n && b.n < cap) {
+      b.append(o.skeys(j), o.ids(j), cap)
+      j += 1
+    }
+    b
+  }
+
+  override def eval(b: CappedCollect.Buf): Any = {
+    val rows = new Array[Any](b.n)
+    var j = 0
+    while (j < b.n) {
+      rows(j) = InternalRow(b.skeys(j), b.ids(j))
+      j += 1
+    }
+    InternalRow(new GenericArrayData(rows), b.total)
+  }
+
+  override def serialize(b: CappedCollect.Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12 + 16 * b.n)
+    bb.putInt(b.n).putLong(b.total)
+    var j = 0
+    while (j < b.n) { bb.putLong(b.skeys(j)).putLong(b.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): CappedCollect.Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new CappedCollect.Buf(math.max(n, 1))
+    b.total = bb.getLong
+    var j = 0
+    while (j < n) { b.append(bb.getLong, bb.getLong, Int.MaxValue); j += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CappedCollect =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CappedCollect =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): CappedCollect =
+    copy(skeyExpr = cs(0), idExpr = cs(1))
+}
+
+object CappedCollect {
+  val memberType: StructType = StructType(Seq(
+    StructField("skey", LongType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+  val outType: StructType = StructType(Seq(
+    StructField("members", ArrayType(memberType, containsNull = false),
+      nullable = false),
+    StructField("total", LongType, nullable = false)))
+
+  /** Growable parallel long arrays; `total` counts beyond the cap. */
+  final class Buf(initial: Int) {
+    var skeys: Array[Long] = new Array[Long](initial)
+    var ids: Array[Long] = new Array[Long](initial)
+    var n: Int = 0
+    var total: Long = 0L
+    def append(s: Long, i: Long, cap: Int): Unit = {
+      if (n >= skeys.length) {
+        val grow = math.min(math.max(skeys.length * 2, 16), math.max(cap, n + 1))
+        skeys = java.util.Arrays.copyOf(skeys, grow)
+        ids = java.util.Arrays.copyOf(ids, grow)
+      }
+      skeys(n) = s; ids(n) = i; n += 1
+    }
+  }
+}

@@ -413,6 +413,8 @@ object HashFunctions {
   def pairGen(members: Column, maxBucket: Int, chainWidth: Int,
               dropAbove: Int = Int.MaxValue): Column =
     col(PairGen(expr(members), maxBucket, chainWidth, dropAbove))
+  def cappedCollect(skey: Column, id: Column, cap: Int): Column =
+    col(CappedCollect(expr(skey), expr(id), cap).toAggregateExpression())
   def filterNotIn(arr: Column, dropSorted: Array[Long]): Column =
     col(FilterNotIn(expr(arr), dropSorted))
   def statsEntries(tf: Column, shingles: Column): Column =

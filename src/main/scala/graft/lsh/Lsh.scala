@@ -167,10 +167,19 @@ object Lsh {
    * bridge join. AQE skew-join mitigation stays enabled as the backstop
    * (north rule).
    *
-   * `hardCap` bounds collect_list growth on pathological mega-buckets
-   * (boilerplate shared by millions of pages): members beyond it are
-   * dropped from pairing — logged volume, never silent, and such pages
-   * still dedup via the exact-hash stage.
+   * `hardCap` bounds member collection on pathological mega-buckets
+   * (boilerplate shared by millions of pages) via [[graft.hash
+   * .CappedCollect]]: the aggregation BUFFER itself is capped at every
+   * partial- and final-agg site (a slice over collect_list would bound
+   * only the output and OOM the reducer at web scale), while the exact
+   * `total` keeps the drop observable. Members beyond the cap are
+   * dropped from pairing — such pages still dedup via the exact-hash
+   * stage.
+   *
+   * `dropAbove` drops ENTIRE buckets whose true member count exceeds
+   * it (corpus-wide boilerplate keys — their pairs would connect
+   * unrelated documents): an exact filter on the aggregate's total,
+   * costing no separate counting pass.
    */
   def candidatePairs(buckets: DataFrame, docId: String,
                      maxBucket: Int, chainWidth: Int,
@@ -181,11 +190,14 @@ object Lsh {
       if (buckets.columns.contains("skey")) col("skey") else col(docId)
     val grouped = buckets
       .groupBy($"band", $"key")
-      .agg(slice(collect_list(struct(skey.as("skey"),
-        col(docId).as("id"))), 1, hardCap).as("members"))
-    grouped
+      .agg(graft.hash.HashFunctions.cappedCollect(
+        skey, col(docId), hardCap).as("m"))
+    val kept =
+      if (dropAbove == Int.MaxValue) grouped
+      else grouped.filter($"m.total" <= dropAbove)
+    kept
       .select(explode(graft.hash.HashFunctions.pairGen(
-        $"members", maxBucket, chainWidth, dropAbove)).as("p"))
+        $"m.members", maxBucket, chainWidth)).as("p"))
       .select($"p.a", $"p.b")
       .distinct()
   }

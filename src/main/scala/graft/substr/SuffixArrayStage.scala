@@ -184,7 +184,8 @@ object SuffixArrayStage {
    */
   def substringEdges(docs: DataFrame, docIdCol: String, textCol: String,
                      minRun: Int, maxBucket: Int = 64,
-                     chainWidth: Int = 3, hotAnchorDf: Int = 1024): DataFrame = {
+                     chainWidth: Int = 3, hotAnchorDf: Int = 1024,
+                     broadcastIdLimit: Long = 16L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val k = math.max(8, minRun / 2)
@@ -192,38 +193,44 @@ object SuffixArrayStage {
 
     val base = docs.select(col(docIdCol).cast("long").as("doc_id"),
       col(textCol).as("__text"))
-    // anchor buckets: same distributed-hash-table shape as LSH banding
+    // anchor buckets: same distributed-hash-table shape as LSH banding.
+    // Boilerplate anchors (a fingerprint shared by > hotAnchorDf docs is
+    // a corpus-wide template sentence, not substring duplication — its
+    // pairs would connect unrelated pages) are dropped INSIDE the bucket
+    // aggregation via candidatePairs' dropAbove: the capped-collect
+    // aggregate bounds every agg buffer at hotAnchorDf+1 members while
+    // counting the true df, so no separate anchor-cardinality counting
+    // shuffle + driver collect is needed (the previous shape paid a full
+    // ~(docs × anchors/doc)-row shuffle just to pre-drop hot keys).
     val buckets = base.select(col("doc_id"), explode(
         graft.hash.HashFunctions.winnow(col("__text"), k, window)).as("key"))
       .withColumn("band", lit(2000))
-    // hot-anchor drop (the df-conditioned-shingling pattern applied to
-    // anchors): a fingerprint shared by > hotAnchorDf docs is
-    // corpus-wide BOILERPLATE, not substring duplication — its pairs
-    // would connect unrelated pages on a common template sentence, and
-    // its bucket is a single-reducer straggler (100k members through
-    // one collect_list measured ~20 s). The count agg is map-combined
-    // and its output is key-cardinality-bounded; the survivor list is
-    // tiny (few boilerplate runs), logged, and dropped MAP-SIDE so the
-    // members never reach the shuffle.
-    val hot = buckets.groupBy(col("key")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > hotAnchorDf).select(col("key"))
-      .collect().map(_.getLong(0))
-    if (hot.nonEmpty)
-      System.err.println(s"[graft] substring pass dropping ${hot.length} " +
-        s"boilerplate anchors with df > $hotAnchorDf")
-    val kept =
-      if (hot.isEmpty) buckets
-      else buckets.filter(!col("key").isInCollection(hot))
     val cands = graft.lsh.Lsh.candidatePairs(
-      kept.select("doc_id", "band", "key"), "doc_id", maxBucket, chainWidth,
-      dropAbove = hotAnchorDf)
+        buckets.select("doc_id", "band", "key"), "doc_id", maxBucket,
+        chainWidth, hardCap = hotAnchorDf + 1, dropAbove = hotAnchorDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // slim pair set is read three times below (two member-id
+    // projections + the join); the count doubles as the broadcast guard
+    val nPairs = cands.count()
+
+    // only pair members need their text in the verify joins: semi-filter
+    // the corpus first (guarded broadcast, same pattern as
+    // DedupPipeline.verifyPairs) — the unfiltered shape shuffled the
+    // FULL corpus text twice (ta + tb) to verify a few thousand pairs,
+    // and a document appearing in many pairs made those exchanges skew
+    // (measured: 64-task join stages at effective parallelism ~2).
+    val memberIds0 = cands.select($"a".as("doc_id"))
+      .union(cands.select($"b".as("doc_id"))).distinct()
+    val memberIds = if (2 * nPairs <= broadcastIdLimit)
+      memberIds0.hint("broadcast") else memberIds0
+    val texts = base.join(memberIds, Seq("doc_id"), "left_semi")
 
     // exact SA verification per candidate pair. The repartition AFTER
     // the joins is load-bearing: AQE coalesces the join output by bytes
     // (pairs are small) while the SA build is CPU-bound — without it the
     // whole verification ran in 3 tasks (measured 40 s serial tail).
-    val ta = base.toDF("a", "ta")
-    val tb = base.toDF("b", "tb")
+    val ta = texts.toDF("a", "ta")
+    val tb = texts.toDF("b", "tb")
     cands.join(ta, "a").join(tb, "b")
       .select($"a", $"b", $"ta", $"tb")
       .repartition(spark.sparkContext.defaultParallelism * 2)

@@ -154,6 +154,34 @@ class HashKernelsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("capped_collect: exact total, bounded members, shuffle-safe merge") {
+    import spark.implicits._
+    // 100 members on one key spread over 8 partitions so partial
+    // buffers must serialize + merge across the exchange
+    val df = spark.range(0, 100, 1, 8)
+      .select(lit(0).as("band"), lit(7L).as("key"),
+        col("id").as("skey"), col("id").as("doc_id"))
+    val m = df.groupBy($"band", $"key")
+      .agg(HashFunctions.cappedCollect($"skey", $"doc_id", 10).as("m"))
+      .select($"m.total", size($"m.members")).head()
+    assert(m.getLong(0) === 100L, "total counts every row")
+    assert(m.getInt(1) <= 10, "buffer capped")
+    // under the cap: every member survives, total matches
+    val small = df.limit(5).groupBy($"band", $"key")
+      .agg(HashFunctions.cappedCollect($"skey", $"doc_id", 10).as("m"))
+      .select($"m.total", size($"m.members")).head()
+    assert(small.getLong(0) === 5L && small.getInt(1) === 5)
+    // dropAbove via total: candidatePairs drops the boilerplate bucket
+    // entirely, keeps the small one
+    val buckets = df.select($"doc_id", $"band", $"key")
+      .union(Seq((1000L, 0, 9L), (1001L, 0, 9L)).toDF("doc_id", "band", "key"))
+    val pairs = graft.lsh.Lsh.candidatePairs(buckets, "doc_id", 64, 3,
+      hardCap = 11, dropAbove = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1000L, 1001L)),
+      "hot bucket (df 100 > 10) dropped, small bucket paired")
+  }
+
   test("expressions evaluate inside a DataFrame plan (codegen path)") {
     import spark.implicits._
     val df = Seq(("hello", Seq(1L, 2L, 3L))).toDF("w", "sh")
