@@ -137,7 +137,13 @@ object Bench {
 
     // ---- phase 1: per-query timings at 4N cores ----
     // (SPARK_GRAFT_BENCH_QUERIES=0 skips it — scaling-iteration use)
-    def parts(c: Int) = c
+    // partitions: 1×cores (fastest measured at both levels at ~375k
+    // docs) with a BYTES floor of one partition per ~100k docs — at
+    // 1.265M docs the pure-cores sizing put ~500 MB cache/sort blocks
+    // on 8 partitions and spill-thrashed local[8] to 1104 s (vs ~190 s
+    // expected). Production analogue: size partitions by bytes
+    // (maxPartitionBytes), never by core count alone.
+    def parts(c: Int) = math.max(c, synthetic / 100000)
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {

@@ -74,13 +74,14 @@ object ProfileDedup {
   def main(args: Array[String]): Unit = {
     val cores = args.headOption.map(_.toInt).getOrElse(32)
     val docs = args.drop(1).headOption.map(_.toInt).getOrElse(60000)
+    val partitions = args.drop(2).headOption.map(_.toInt).getOrElse(cores)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-profile-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
-      .config("spark.default.parallelism", cores.toString)
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.default.parallelism", partitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (1 << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
