@@ -149,6 +149,17 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {
       val spark = session(cpus4N, parts(cpus4N))
       try {
+        // throwaway warmup: absorb session/codegen/scan-index startup so
+        // the alphabetically-first real query doesn't carry it (q1_agg
+        // measured 10.2 s cold vs ~1 s warm — round-1 verdict item)
+        try {
+          spark.read.parquet(s"$sfDir/documents.parquet")
+            .groupBy("lang").count()
+            .write.mode("overwrite").format("noop").save()
+          SparkEntry.queries.get("q1_agg")
+            .foreach(fn => fn(spark, sfDir)
+              .write.mode("overwrite").format("noop").save())
+        } catch { case _: Throwable => () }
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
           // a failed query must NOT masquerade as a fast one: record -1
