@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench's dedup phase shares the JVM with 35 query
+  // plans' cache/codegen residue; at 8g an 8-core attempt hit
+  // UNABLE_TO_ACQUIRE_MEMORY in the sort-based agg fallback under GC
+  // pressure (host has 128 GiB; the single local JVM is the only load)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -223,15 +223,26 @@ object Bench {
       while (attempts < reps + 3 && clean.size < reps &&
              (budgetLeft || samples.isEmpty)) {
         val c0 = canaryGbps()
-        val (n, sec, steal) = timeDedup(cores, parts(cores), sfDir, synthetic)
-        val c1 = canaryGbps()
-        canaryBest = canaryBest.max(c0).max(c1)
-        samples += ((n, sec, steal, math.min(c0, c1)))
+        // a crashed attempt (e.g. task-memory exhaustion under a
+        // hostile GC/bandwidth window) must not kill the bench — prior
+        // good samples are still valid; log and move on
+        try {
+          val (n, sec, steal) = timeDedup(cores, parts(cores), sfDir, synthetic)
+          val c1 = canaryGbps()
+          canaryBest = canaryBest.max(c0).max(c1)
+          samples += ((n, sec, steal, math.min(c0, c1)))
+          System.err.println(f"[bench] cores=$cores attempt=${attempts + 1} " +
+            f"sec=$sec%.2f steal=$steal%.1f%% bw=${math.min(c0, c1)}%.0f" +
+            f"/${canaryBest}%.0f GB/s")
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cores=$cores attempt=${attempts + 1} " +
+              s"FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(160)}")
+        }
         attempts += 1
-        System.err.println(f"[bench] cores=$cores attempt=$attempts " +
-          f"sec=$sec%.2f steal=$steal%.1f%% bw=${math.min(c0, c1)}%.0f" +
-          f"/${canaryBest}%.0f GB/s")
       }
+      require(samples.nonEmpty,
+        s"all $attempts dedup attempts failed at cores=$cores")
       val (n, sec, steal, bw) = samples.minBy(_._2)
       (n, sec, steal, canaryBest / bw, attempts)
     }
