@@ -170,11 +170,11 @@ object DedupPipeline {
    * and shingle df ride the same explode → (kind, id) hash aggregation.
    *  - kind 0, id −1: the doc-count sentinel (n)
    *  - kind 0, id ≥ 0: term document frequency → idf
-   *  - kind 1: shingle document frequency, pre-filtered to
-   *    df > hotShingleMinDf map-side of the collect (the full
-   *    frac·n threshold needs n, so it is applied driver-side on the
-   *    already-tiny survivor set)
-   * The result is a bounded dim table (≤ numFeatures + hot survivors) —
+   *  - kind 1: shingle document frequency, filtered to
+   *    df > hotShingleMinDf and kept DISTRIBUTED; the full frac·n
+   *    threshold (which needs n) and the hotShingleCap top-k both run
+   *    executor-side, so the driver sees ≤ cap hot shingles
+   * The result is a bounded dim table (≤ numFeatures + hotShingleCap) —
    * the reference's "never materialise the diagonal" IDF trick
    * (`/root/reference/weightings.go:58`), distributed-style. Previously
    * two separate jobs (idf agg + hot-shingle agg), each a full corpus
@@ -182,30 +182,53 @@ object DedupPipeline {
    * scaling-efficiency driver).
    */
   def fitCorpusStats(tfd: DataFrame, cfg: DedupConfig): CorpusStats = {
-    val rows = tfd
+    // the corpus pass runs ONCE: the slim survivor frame (term rows +
+    // shingle rows over the static minDf floor) is persisted DISTRIBUTED
+    // (executor memory/disk, spillable) and both collects below read it.
+    // The driver never materialises the survivor set: it sees at most
+    // numFeatures idf rows plus hotShingleCap hot shingles — at the
+    // 10^12-doc operating point the df>minDf shingle population is
+    // 10^9-10^10 rows, which stays on the executors.
+    val slim = tfd
       .select(explode(HashFunctions.statsEntries(
         col("tf"), col("shingles"))).as("e"))
       .groupBy(col("e.kind").as("kind"), col("e.id").as("id"))
       .agg(count(lit(1)).as("df"))
       .filter(col("kind") === 0 || col("df") > cfg.hotShingleMinDf)
-      .collect()
-    var n = 0L
-    rows.foreach { r => if (r.getInt(0) == 0 && r.getLong(1) == -1L) n = r.getLong(2) }
-    // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
-    val terms = rows.filter(r => r.getInt(0) == 0 && r.getLong(1) >= 0)
-      .sortBy(_.getLong(1))
-    val idfTerms = terms.map(_.getLong(1))
-    val idfVals = terms.map(r => math.log((1.0 + n) / (1.0 + r.getLong(2))))
-    val dfThreshold = math.max(cfg.hotShingleMinDf.toLong,
-      (cfg.hotShingleDfFrac * n).toLong)
-    var hot = rows.filter(r => r.getInt(0) == 1 && r.getLong(2) > dfThreshold)
-    if (hot.length > cfg.hotShingleCap) {
-      System.err.println( // no silent caps: dropped volume must be visible
-        s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} of " +
-          s"${hot.length} over-threshold shingles (keeping the hottest)")
-      hot = hot.sortBy(-_.getLong(2)).take(cfg.hotShingleCap)
-    }
-    CorpusStats(n, idfTerms, idfVals, hot.map(_.getLong(1)).sorted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // collect 1 (triggers the corpus pass): doc-count sentinel + idf —
+      // bounded by numFeatures
+      val termRows = slim.filter(col("kind") === 0).collect()
+      var n = 0L
+      termRows.foreach { r => if (r.getLong(1) == -1L) n = r.getLong(2) }
+      // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
+      val terms = termRows.filter(_.getLong(1) >= 0).sortBy(_.getLong(1))
+      val idfTerms = terms.map(_.getLong(1))
+      val idfVals = terms.map(r => math.log((1.0 + n) / (1.0 + r.getLong(2))))
+      // collect 2 (cached scan, no second corpus pass): full df threshold
+      // pushed executor-side now that n is known; the cap is a global
+      // top-k (TakeOrderedAndProject — per-partition bounded heaps, the
+      // driver merges ≤cap rows), tie-broken on id for determinism. Any
+      // over-threshold shingle outranks every sub-threshold one, so when
+      // the over-threshold population fits the cap this is exactly that
+      // population — same semantics as an unbounded collect + cap.
+      val dfThreshold = math.max(cfg.hotShingleMinDf.toLong,
+        (cfg.hotShingleDfFrac * n).toLong)
+      val hotRows = slim
+        .filter(col("kind") === 1 && col("df") > dfThreshold)
+        .orderBy(col("df").desc, col("id").asc)
+        .limit(cfg.hotShingleCap)
+        .collect()
+      if (hotRows.length >= cfg.hotShingleCap) {
+        // no silent caps: dropped volume must be visible (cheap cached count)
+        val total = slim.filter(col("kind") === 1 && col("df") > dfThreshold).count()
+        System.err.println(
+          s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} of " +
+            s"$total over-threshold shingles (keeping the hottest)")
+      }
+      CorpusStats(n, idfTerms, idfVals, hotRows.map(_.getLong(1)).sorted)
+    } finally slim.unpersist(blocking = false)
   }
 
   /** Apply fitted stats: MinHash128 over the (df-conditioned) shingle

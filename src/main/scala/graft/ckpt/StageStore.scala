@@ -1,6 +1,5 @@
 package graft.ckpt
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,6 +13,10 @@ import org.apache.spark.sql.functions._
  * re-run `stage(...)` call reads the committed data and skips the
  * compute entirely, which is the resume path of the north rule. The
  * trait is narrow so a real Iceberg catalog is a drop-in replacement.
+ *
+ * All filesystem metadata goes through the Hadoop FS resolved from the
+ * root path ([[Fs]]) — the store works on `file:`, HDFS and
+ * S3-compatible URIs, in the same namespace the parquet payloads land.
  *
  * Manifests carry per-stage lineage (input stage names) and
  * per-partition metrics (file count/bytes from the filesystem — no
@@ -36,48 +39,38 @@ class EphemeralStore extends CheckpointStore {
 }
 
 class ParquetStageStore(spark: SparkSession, root: String) extends CheckpointStore {
-  private def dir(name: String): Path = Paths.get(root, name)
-  private def manifest(name: String): Path = Paths.get(root, s"$name.manifest.json")
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def dir(name: String): String = s"$root/$name"
+  private def manifest(name: String): String = s"$root/$name.manifest.json"
 
-  def isCommitted(name: String): Boolean = Files.exists(manifest(name))
+  def isCommitted(name: String): Boolean = Fs.exists(manifest(name), hconf)
 
   def stage(name: String, inputs: Seq[String] = Nil)(compute: => DataFrame): DataFrame = {
     if (isCommitted(name)) {
-      spark.read.parquet(dir(name).toString)
+      spark.read.parquet(dir(name))
     } else {
       val t0 = System.nanoTime()
       val df = compute
-      df.write.mode("overwrite").parquet(dir(name).toString)
+      df.write.mode("overwrite").parquet(dir(name))
       val wallMs = (System.nanoTime() - t0) / 1000000
       commit(name, inputs, wallMs)
-      spark.read.parquet(dir(name).toString)
+      spark.read.parquet(dir(name))
     }
   }
 
   private def commit(name: String, inputs: Seq[String], wallMs: Long): Unit = {
-    val d = dir(name)
-    val parts = Files.list(d).iterator()
-    var files = 0L; var bytes = 0L
-    val partStats = new StringBuilder
-    while (parts.hasNext) {
-      val p = parts.next()
-      if (p.getFileName.toString.endsWith(".parquet")) {
-        if (files > 0) partStats.append(",")
-        partStats.append(s"""{"file":"${p.getFileName}","bytes":${Files.size(p)}}""")
-        files += 1; bytes += Files.size(p)
-      }
-    }
+    val parts = Fs.listFiles(dir(name), hconf)
+      .filter(_._1.endsWith(".parquet"))
+    val partStats = parts
+      .map { case (fn, sz) => s"""{"file":"$fn","bytes":$sz}""" }
+      .mkString(",")
     val json =
       s"""{"stage":"$name","committedAtMs":${System.currentTimeMillis()},
-         |"wallMs":$wallMs,"files":$files,"bytes":$bytes,
+         |"wallMs":$wallMs,"files":${parts.size},"bytes":${parts.map(_._2).sum},
          |"inputs":[${inputs.map("\"" + _ + "\"").mkString(",")}],
-         |"partitions":[${partStats.toString}]}""".stripMargin.replace("\n", "")
+         |"partitions":[$partStats]}""".stripMargin.replace("\n", "")
     // Iceberg-style atomic publish: write temp, rename into place
-    val tmp = Paths.get(root, s".$name.manifest.tmp")
-    Files.createDirectories(Paths.get(root))
-    Files.writeString(tmp, json)
-    Files.move(tmp, manifest(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    Fs.writeStringAtomic(manifest(name), json, hconf)
   }
 
   def invalidate(name: String): Unit = {
@@ -87,21 +80,18 @@ class ParquetStageStore(spark: SparkSession, root: String) extends CheckpointSto
     while (work.nonEmpty) {
       val cur = work.dequeue()
       if (done.add(cur)) {
-        Files.deleteIfExists(manifest(cur))
-        val root0 = Paths.get(root)
-        if (Files.exists(root0)) {
-          val it = Files.list(root0).iterator()
-          while (it.hasNext) {
-            val p = it.next()
-            val fn = p.getFileName.toString
-            if (fn.endsWith(".manifest.json") && Files.exists(p) &&
-                Files.readString(p).contains("\"inputs\":") &&
-                Files.readString(p).split("\"inputs\":")(1)
-                  .contains("\"" + cur + "\"")) {
-              work += fn.stripSuffix(".manifest.json")
+        Fs.deleteIfExists(manifest(cur), hconf)
+        Fs.listNames(root, hconf)
+          .filter(_.endsWith(".manifest.json"))
+          .foreach { fn =>
+            val p = s"$root/$fn"
+            if (Fs.exists(p, hconf)) {
+              val body = Fs.readString(p, hconf)
+              if (body.contains("\"inputs\":") &&
+                  body.split("\"inputs\":")(1).contains("\"" + cur + "\""))
+                work += fn.stripSuffix(".manifest.json")
             }
           }
-        }
       }
     }
   }

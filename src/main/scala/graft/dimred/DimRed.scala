@@ -45,9 +45,11 @@ import org.apache.spark.sql.functions._
  */
 object DimRed {
 
-  /** entries column contract: array<struct<term: long, weight: double>>. */
+  /** entries column contract: array<struct<term: long, weight: double>>.
+    * explode_outer keeps docs with empty entry arrays (null term row) so
+    * they survive to the projection aggregate. */
   private def exploded(docs: DataFrame, docIdCol: String, entriesCol: String) =
-    docs.select(col(docIdCol).as("__doc"), explode(col(entriesCol)).as("e"))
+    docs.select(col(docIdCol).as("__doc"), explode_outer(col(entriesCol)).as("e"))
       .select(col("__doc"), col("e.term").as("term"),
         col("e.weight").cast("double").as("w"))
 
@@ -89,13 +91,17 @@ object DimRed {
     * PCA (uncentered projection). One join + one groupBy(doc); the
     * component table is broadcast when small, shuffle-joined otherwise
     * (Catalyst decides from stats). Docs with no in-vocabulary terms get
-    * the zero vector (reference drops OOV terms the same way). */
+    * the zero vector — the reference's Componentsᵀ·m yields a zero
+    * column for such docs (`dimreduction.go:50-57`), so they must stay
+    * in the output: explode_outer keeps empty-entry docs, the LEFT join
+    * keeps all-OOV entries (null vec → null contrib, which collect_list
+    * skips, leaving the aggregate's zero-vector init value). */
   def project(docs: DataFrame, docIdCol: String, entriesCol: String,
               components: DataFrame, k: Int): DataFrame = {
     val ex = exploded(docs, docIdCol, entriesCol)
     // equi-join on term: Catalyst broadcasts the component table when it
     // fits (k·d small) and shuffle-joins otherwise — no forced hint
-    val joined = ex.join(components, Seq("term"))
+    val joined = ex.join(components, Seq("term"), "left")
       .select(col("__doc"),
         transform(col("vec"), v => v * col("w")).as("contrib"))
     joined.groupBy(col("__doc"))
@@ -126,22 +132,20 @@ final case class DimRedModel(components: DataFrame, scales: Array[Double], k: In
     * Iceberg-style commit protocol as ckpt.ParquetStageStore). Mirrors
     * the reference's binary Save (`dimreduction.go:111-122`). */
   def save(path: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     components.write.mode("overwrite").parquet(s"$path/components.parquet")
-    val json = s"""{"k":$k,"scales":[${scales.mkString(",")}]}"""
-    val tmp = Paths.get(path, ".model.json.tmp")
-    Files.createDirectories(Paths.get(path))
-    Files.writeString(tmp, json)
-    Files.move(tmp, Paths.get(path, "model.json"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // manifest through the SAME Hadoop filesystem as the parquet write —
+    // java.nio would land it in a different namespace on HDFS/S3
+    graft.ckpt.Fs.writeStringAtomic(s"$path/model.json",
+      s"""{"k":$k,"scales":[${scales.mkString(",")}]}""",
+      components.sparkSession.sparkContext.hadoopConfiguration)
   }
 }
 
 object DimRedModel {
   /** Load a model previously written by save (`dimreduction.go:128-153`). */
   def load(spark: SparkSession, path: String): DimRedModel = {
-    val json = java.nio.file.Files.readString(
-      java.nio.file.Paths.get(path, "model.json"))
+    val json = graft.ckpt.Fs.readString(s"$path/model.json",
+      spark.sparkContext.hadoopConfiguration)
     val k = """"k":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
     val scales = """"scales":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
       .split(",").filter(_.nonEmpty).map(_.toDouble)

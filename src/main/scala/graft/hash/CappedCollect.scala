@@ -49,9 +49,15 @@ case class CappedCollect(skeyExpr: Expression, idExpr: Expression, cap: Int,
   override def update(b: CappedCollect.Buf, input: InternalRow): CappedCollect.Buf = {
     val s = skeyExpr.eval(input)
     val i = idExpr.eval(input)
-    b.total += 1L
-    if (s != null && i != null && b.n < cap)
-      b.append(s.asInstanceOf[Long], i.asInstanceOf[Long], cap)
+    // null rows are ignored ENTIRELY — including in `total` — matching
+    // the collect_list semantics this replaces; counting them would let
+    // a dropAbove filter discard a bucket over rows that contribute no
+    // pairs
+    if (s != null && i != null) {
+      b.total += 1L
+      if (b.n < cap)
+        b.append(s.asInstanceOf[Long], i.asInstanceOf[Long], cap)
+    }
     b
   }
 

@@ -62,6 +62,13 @@ object LshForest {
                  qidCol: String, sigCol: String, k: Int,
                  tables: Int = 4, step: Int = 8,
                  minPrefix: Int = 16): DataFrame = {
+    // minPrefix ≤ 64 guarantees ≥1 expansion round (found is never null
+    // at the ranking step); the rest are plain domain checks
+    require(minPrefix >= 1 && minPrefix <= 64,
+      s"minPrefix must be in [1, 64], got $minPrefix")
+    require(step >= 1, s"step must be >= 1, got $step")
+    require(k >= 1 && tables >= 1 && 64 % tables == 0,
+      s"need k>=1, tables>=1 dividing 64; got k=$k tables=$tables")
     val spark = index.sparkSession
     import spark.implicits._
     val corpus = rotated(index, idCol, sigCol, tables)
@@ -88,9 +95,13 @@ object LshForest {
       // quota filter AND the next round's union — without a lineage cut
       // every round re-executes the whole expansion history (the CC-loop
       // lesson; unchecked this ran minutes instead of seconds)
+      val prevFound = found
       found =
         (if (found == null) cands else found.union(cands).distinct())
           .localCheckpoint()
+      // the new checkpoint is eager — the superseded accumulator's
+      // blocks are dead weight in the block manager from here on
+      if (prevFound != null) prevFound.unpersist(blocking = false)
       if (prefixLen - step >= minPrefix) {
         // queries whose candidate quota is met leave the expansion
         val counts = found.groupBy(col("qid").as("done_qid"))
@@ -98,11 +109,14 @@ object LshForest {
         val next = pending
           .join(counts, pending("qid") === counts("done_qid"), "left_anti")
           .localCheckpoint()
+        pending.unpersist(blocking = false) // next is materialised
         // cheap emptiness probe bounds the loop (log-rounds, not data)
-        if (next.isEmpty) pending = null else pending = next
+        if (next.isEmpty) { next.unpersist(blocking = false); pending = null }
+        else pending = next
       }
       prefixLen -= step
     }
+    if (pending != null) pending.unpersist(blocking = false)
     corpus.unpersist()
 
     val w = Window.partitionBy("qid")

@@ -29,14 +29,21 @@ import graft.DedupPipeline.CorpusStats
  */
 class IncrementalIndex(spark: SparkSession, path: String,
                        cfg: DedupConfig = DedupConfig()) {
+  import graft.ckpt.Fs
+
+  // all filesystem metadata ops go through the Hadoop FS resolved from
+  // the index path (graft.ckpt.Fs), matching the namespace the parquet
+  // payloads are written to — the index works on HDFS/S3-compatible
+  // stores, not just the local filesystem
+  private val hconf = spark.sparkContext.hadoopConfiguration
 
   private def sigPath = s"$path/sigs"
   private def statsPath = s"$path/stats"
 
-  def isEmpty: Boolean = !new java.io.File(sigPath).exists()
+  def isEmpty: Boolean = !Fs.exists(sigPath, hconf)
 
   private def loadStats(): Option[CorpusStats] =
-    if (!new java.io.File(statsPath).exists()) None
+    if (!Fs.exists(statsPath, hconf)) None
     else {
       val r = spark.read.parquet(statsPath).head()
       Some(CorpusStats(r.getLong(0),
@@ -78,14 +85,9 @@ class IncrementalIndex(spark: SparkSession, path: String,
       .parquet(s"$sigPath/batch=$batchId")
 
   private def nextBatchId(): Long = {
-    val d = new java.io.File(sigPath)
-    val kids = d.listFiles()
-    if (kids == null) 0L
-    else kids.filter(_.getName.startsWith("batch=")).map(
-      _.getName.stripPrefix("batch=").toLong) match {
-      case a if a.isEmpty => 0L
-      case a => a.max + 1L
-    }
+    val ids = Fs.listNames(sigPath, hconf)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
   }
 
   /** Remove documents by url (reference `Remove(id)`): anti-join
@@ -99,16 +101,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     spark.read.parquet(sigPath)
       .join(urls.select(col("url")), Seq("url"), "left_anti")
       .write.mode("overwrite").partitionBy("batch").parquet(swap)
-    val old = new java.io.File(sigPath)
-    deleteRecursively(old)
-    if (!new java.io.File(swap).renameTo(old))
-      throw new java.io.IOException(s"index swap rename failed: $swap -> $old")
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
-    f.delete()
+    Fs.swapInto(swap, sigPath, hconf)
   }
 
   def all(): DataFrame = spark.read.parquet(sigPath)

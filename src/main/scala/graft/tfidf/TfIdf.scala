@@ -80,20 +80,20 @@ object TfIdf {
       applyIdf(docs, docIdCol, entriesCol, idf)
 
     def save(path: String): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
       idf.write.mode("overwrite").parquet(s"$path/idf.parquet")
-      val tmp = Paths.get(path, ".model.json.tmp")
-      Files.createDirectories(Paths.get(path))
-      Files.writeString(tmp, s"""{"numDocs":$numDocs}""")
-      Files.move(tmp, Paths.get(path, "model.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // manifest goes through the SAME filesystem the parquet landed on
+      // (Hadoop FS resolved from the path) — java.nio here would split
+      // the artifact across namespaces on a non-local default FS
+      graft.ckpt.Fs.writeStringAtomic(s"$path/model.json",
+        s"""{"numDocs":$numDocs}""",
+        idf.sparkSession.sparkContext.hadoopConfiguration)
     }
   }
 
   object TfIdfModel {
     def load(spark: org.apache.spark.sql.SparkSession, path: String): TfIdfModel = {
-      val json = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(path, "model.json"))
+      val json = graft.ckpt.Fs.readString(s"$path/model.json",
+        spark.sparkContext.hadoopConfiguration)
       val n = """"numDocs":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
       TfIdfModel(spark.read.parquet(s"$path/idf.parquet"), n)
     }

@@ -27,8 +27,16 @@ object Vocabulary {
   def denseRank(df: DataFrame, key: Column, parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // Materialise the range exchange ONCE (eager localCheckpoint): the
+    // range partitioner samples split points with an RDD-seeded sampler,
+    // so re-executing it in the counts job vs the consumer's job could
+    // place boundary rows in different partitions and desynchronise the
+    // collected __pid offsets. Pinning the blocks makes every consumer
+    // (counts, the returned plan, any later vocab.count()) read the same
+    // placement, and costs one small vocab-sized cached frame.
     val ranged = df.repartitionByRange(n, key.asc)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // bounded collect: one row per partition
     val counts = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
