@@ -53,6 +53,12 @@ case class DedupConfig(
   // cheap job over an already-cached slim frame (or a parquet
   // metadata-only count on the resume path).
   broadcastIdLimit: Long = 16L << 20,
+  // 64-bit id collision audit (birthday bound at the 10^12-doc design
+  // point predicts ~10^4 silent xxhash64(url) collisions, each merging
+  // two unrelated documents into one cluster): up to idAuditRounds
+  // detect-and-rehash passes over a slim (doc_id, url) projection, then
+  // a loud failure if collisions persist. 0 disables the audit.
+  idAuditRounds: Int = 3,
   stopWords: Seq[String] = Nil) {
   require(minhashPerms == bands * rows,
     s"signature length $minhashPerms must equal bands*rows (${bands * rows}); " +
@@ -89,18 +95,64 @@ case class DedupConfig(
 object DedupPipeline {
 
   /** Stage 1 — extraction/normalisation. Input must have (url, text).
-    * Adds docId, tokens, norm, text_hash, shingles, n_tokens. */
+    * Adds docId, tokens, norm, text_hash, shingles, n_tokens. A
+    * caller-supplied doc_id column is honored (the reference treats ids
+    * as opaque caller-owned values, `/root/reference/index.go:48`);
+    * identity integrity is then enforced by [[resolveIdCollisions]]. */
   def extract(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = TextKernel.dropStopWords(
       TextKernel.tokenize(coalesce(col("text"), lit(""))), cfg.stopWords)
-    pages
-      .withColumn("doc_id", xxhash64(col("url")))
+    val withId =
+      if (pages.columns.contains("doc_id")) pages
+      else pages.withColumn("doc_id", xxhash64(col("url")))
+    withId
       .withColumn("tokens", tokens)
       .withColumn("norm", TextKernel.normText(col("tokens")))
       .withColumn("text_hash", md5(col("norm")))
       .withColumn("shingles",
         HashFunctions.hashedShingles(col("tokens"), cfg.shingleW))
       .withColumn("n_tokens", size(col("tokens")))
+  }
+
+  /**
+   * Identity-integrity stage: detect doc_ids claimed by more than one
+   * distinct url and deterministically re-id the colliding documents
+   * with a round-salted hash (`xxhash64(url, round)`), iterating until
+   * clean. Unresolved collisions after `maxRounds` FAIL LOUDLY — a
+   * silent 64-bit collision merges two unrelated documents into one
+   * cluster downstream (CC joins on doc_id).
+   *
+   * Scale shape: the audit aggregation ships a slim (doc_id, url-tail)
+   * projection once per round (map-side combined); the collision set
+   * itself is birthday-bounded (~10^4 rows at 10^12 docs), so the
+   * remap join broadcasts it unless a pathological corpus exceeds
+   * [[DedupConfig.broadcastIdLimit]]. Zero collisions (the common
+   * case) = one audit aggregation and an unchanged frame.
+   */
+  def resolveIdCollisions(extracted: DataFrame, cfg: DedupConfig): DataFrame = {
+    var cur = extracted
+    var round = 0
+    while (round <= cfg.idAuditRounds && cfg.idAuditRounds > 0) {
+      val bad = cur.groupBy("doc_id")
+        .agg(countDistinct(col("url")).as("u"))
+        .filter(col("u") > 1).select("doc_id")
+      val nBad = bad.count()
+      if (nBad == 0) return cur
+      if (round == cfg.idAuditRounds)
+        throw new IllegalStateException(
+          s"doc_id collisions unresolved after ${cfg.idAuditRounds} " +
+            s"rehash rounds ($nBad colliding ids) — refusing to cluster " +
+            "with ambiguous identities")
+      round += 1
+      val badIds = (if (nBad <= cfg.broadcastIdLimit) bad.hint("broadcast")
+                    else bad).withColumnRenamed("doc_id", "__bad_id")
+      cur = cur.join(badIds, cur("doc_id") === col("__bad_id"), "left")
+        .withColumn("doc_id",
+          when(col("__bad_id").isNotNull, xxhash64(col("url"), lit(round)))
+            .otherwise(col("doc_id")))
+        .drop("__bad_id")
+    }
+    cur
   }
 
   /** Stage 2a — exact-dup edges + one representative per distinct text.
@@ -331,7 +383,7 @@ object DedupPipeline {
     // docs the previous shape (fat canon window + fat CPU repartition)
     // moved the multi-KB rows twice more; on this host memory bandwidth
     // is the 32-thread bottleneck, so exchange bytes ARE wall time
-    val extracted = shared(store.stage("extract") {
+    val extracted0 = shared(store.stage("extract") {
       extract(pages.repartition(
         pages.sparkSession.sparkContext.defaultParallelism), cfg)
         // compute the hashed tf HERE and cache it instead of the raw
@@ -343,6 +395,12 @@ object DedupPipeline {
         .withColumn("tf", HashFunctions.hashedTf(col("tokens"), cfg.numFeatures))
         .select("url", "doc_id", "tf", "norm", "text_hash", "shingles")
     })
+    // identity audit over the cached frame: a slim aggregation job; the
+    // frame is returned unchanged when (as almost always) no 64-bit id
+    // collision exists, and colliding docs are deterministically
+    // re-id'd otherwise — CC merges clusters on doc_id, so an
+    // undetected collision would silently fuse unrelated documents
+    val extracted = resolveIdCollisions(extracted0, cfg)
     val exactEdges = shared(store.stage("exact_edges", Seq("extract")) {
       exactDupEdges(extracted)
     })

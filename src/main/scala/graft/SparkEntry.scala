@@ -139,24 +139,30 @@ object SparkEntry {
       .select(explode(array_distinct(toks)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("df"))),
 
+    // n is computed IN-PLAN (one-row count aggregate, broadcast cross
+    // join) — an eager d.count() at query-construction time was an
+    // extra full scan outside the measured plan and broke against
+    // streaming sources
     "q_idf" -> ((s, dir) => {
       val d = docs(s, dir)
-      val n = d.count()
+      val nDf = d.agg(count(lit(1)).as("n"))
       d.select(explode(array_distinct(toks)).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDf))
         .select(col("term"),
-          round(log((lit(1.0) + n) / (lit(1.0) + col("df"))), 6).as("idf"))
+          round(log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))), 6).as("idf"))
     }),
 
     "q_tfidf_top" -> ((s, dir) => {
       val d = docs(s, dir)
-      val n = d.count()
+      val nDf = d.agg(count(lit(1)).as("n"))
       val tf = d.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val idf = d.select(explode(array_distinct(toks)).as("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDf))
         .select(col("term"),
-          log((lit(1.0) + n) / (lit(1.0) + col("df"))).as("idf"))
+          log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))).as("idf"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("tfidf").desc, col("term"))
       tf.join(broadcast(idf), "term")

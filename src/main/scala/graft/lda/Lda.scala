@@ -45,6 +45,13 @@ final case class LdaConfig(
   eta: Double = 0.01,             // lda.go:152
   sPhi: Double = 10, tauPhi: Double = 1000, kappaPhi: Double = 0.9,   // lda.go:153-157
   sTheta: Double = 1, tauTheta: Double = 10, kappaTheta: Double = 0.9, // lda.go:158-162
+  // perplexity early-stop (`lda.go:72-79`, defaults `lda.go:162-163`,
+  // loop `lda.go:530-539`): every `perplexityEvaluationFrequency`
+  // iterations evaluate corpus perplexity against the CURRENT state;
+  // stop when the change falls below `perplexityTolerance`. Frequency
+  // <= 0 disables evaluation and runs all `iterations` passes.
+  perplexityTolerance: Double = 1e-2,
+  perplexityEvaluationFrequency: Int = 30,
   seed: Long = 0,
   // > 0 pins the doc-state partitioning (hash on docId + in-partition
   // sort): fits become bit-identical ACROSS sessions with different
@@ -52,9 +59,12 @@ final case class LdaConfig(
   // query. 0 = cluster parallelism (within-session determinism only).
   partitions: Int = 0)
 
-/** Fitted model: unnormalised topic-word statistics (vocab-bounded). */
+/** Fitted model: unnormalised topic-word statistics (vocab-bounded).
+  * `itersRun` records how many training passes actually executed
+  * (fewer than cfg.iterations when the perplexity early-stop fired). */
 final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
-                     val cfg: LdaConfig) extends Serializable {
+                     val cfg: LdaConfig, val itersRun: Int = 0)
+  extends Serializable {
 
   /** K×W topic-over-word probability rows (`lda.go:normalisePhi`). */
   def topicsLocal: Array[Array[Double]] = {
@@ -234,7 +244,9 @@ object Lda {
     var rhoThetaT = 1.0
     var rhoPhiT = 1.0
     var iter = 0
-    while (iter < cfg.iterations) {
+    var stopped = false
+    var prevPerplexity = 0.0
+    while (iter < cfg.iterations && !stopped) {
       rhoThetaT += 1.0
       val bcPhi = spark.sparkContext.broadcast(nPhi)
       val bcZ = spark.sparkContext.broadcast(nZ)
@@ -286,21 +298,20 @@ object Lda {
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // deterministic merge: float addition is not associative, so the
-      // partials are summed in PARTITION ORDER — an arrival-order
-      // reduce() made two identical fits diverge bit-by-bit (caught by
-      // LdaSpec's determinism gate). Partials are vocab-bounded
-      // (P × W×K), never corpus-sized.
-      val partials = next.filter(_._2 == null)
-        .map(r => (r._1, r._3, r._4))
-        .collect().sortBy(_._1)
-      val phiHat = new Array[Double](W * K)
-      val zHat = new Array[Double](K)
-      partials.foreach { case (_, ph, zh) =>
-        var i = 0
-        while (i < phiHat.length) { phiHat(i) += ph(i); i += 1 }
-        i = 0
-        while (i < zHat.length) { zHat(i) += zh(i); i += 1 }
-      }
+      // partials are combined over a FIXED BINARY TREE keyed by
+      // partition id (round r merges nodes 2i and 2i+1, pair summed in
+      // id order) — the summation order is a function of the partition
+      // count alone, never of task arrival (an arrival-order reduce()
+      // made two identical fits diverge bit-by-bit, caught by LdaSpec's
+      // determinism gate). The tree rounds run EXECUTOR-SIDE as
+      // log2(P) shuffles of vocab-bounded rows; the driver receives
+      // exactly ONE (W×K, K) pair — driver memory is O(W×K), not
+      // P×(W×K) (the previous collect shipped every partition's full
+      // partial to the driver: ~400 GB/iteration at W=2^18, K=100,
+      // P=2000).
+      val (phiHat, zHat) = treeMergePartials(
+        next.filter(_._2 == null).map(r => (r._1, r._3, r._4)).rdd,
+        next.rdd.getNumPartitions, W * K, K)
       val newState = next.filter(_._2 != null).map(_._2).localCheckpoint()
       next.unpersist()
       state = newState
@@ -319,8 +330,95 @@ object Lda {
       }
       bcPhi.destroy(); bcZ.destroy()
       iter += 1
+      // perplexity early-stop against the CURRENT state (`lda.go:530-539`)
+      if (cfg.perplexityEvaluationFrequency > 0 &&
+          iter % cfg.perplexityEvaluationFrequency == 0 &&
+          iter < cfg.iterations) {
+        val p = inFitPerplexity(state, nPhi, cfg, wordsInCorpus)
+        if (prevPerplexity != 0.0 &&
+            math.abs(prevPerplexity - p) < cfg.perplexityTolerance)
+          stopped = true
+        prevPerplexity = p
+      }
     }
-    new LdaModel(nPhi, nZ, cfg)
+    new LdaModel(nPhi, nZ, cfg, iter)
+  }
+
+  /** Fixed-topology pairwise merge of per-partition sufficient-stats
+    * partials: round r merges tree nodes 2i and 2i+1 (summed in id
+    * order into a fresh accumulator), so the float summation order
+    * depends only on the partition count. Runs as executor-side
+    * shuffles; exactly one root row is collected. */
+  private def treeMergePartials(
+      partials: org.apache.spark.rdd.RDD[(Int, Array[Double], Array[Double])],
+      width0: Int, wk: Int, k: Int): (Array[Double], Array[Double]) = {
+    val parallelism = partials.sparkContext.defaultParallelism
+    var lvl = partials.map { case (pid, ph, zh) => (pid, (ph, zh)) }
+    var width = math.max(width0, 1)
+    while (width > 1) {
+      val nParts = math.max(1, math.min((width + 1) / 2, parallelism))
+      lvl = lvl.map { case (pid, v) => (pid >> 1, (pid, v)) }
+        .groupByKey(nParts)
+        .map { case (npid, items) =>
+          val sorted = items.toArray.sortBy(_._1)
+          val accP = new Array[Double](wk)
+          val accZ = new Array[Double](k)
+          sorted.foreach { case (_, (ph, zh)) =>
+            var i = 0
+            while (i < wk) { accP(i) += ph(i); i += 1 }
+            i = 0
+            while (i < k) { accZ(i) += zh(i); i += 1 }
+          }
+          (npid, (accP, accZ))
+        }
+      width = (width + 1) / 2
+    }
+    val roots = lvl.collect()
+    require(roots.length == 1, s"tree merge expected 1 root, got ${roots.length}")
+    roots(0)._2
+  }
+
+  /** In-fit corpus perplexity from the CURRENT doc thetas and topic
+    * stats — the reference evaluates against live state, not a fresh
+    * transform (`lda.go:530-534` normalises nPhi/nTheta in place).
+    * Per-partition (pid, logProb) partials are summed in partition
+    * order so the early-stop decision is deterministic. */
+  private def inFitPerplexity(
+      state: org.apache.spark.sql.Dataset[DocState], nPhi: Array[Double],
+      cfg: LdaConfig, wordsInCorpus: Double): Double = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val K = cfg.k
+    val W = cfg.vocab
+    val sums = new Array[Double](K)
+    var i = 0
+    while (i < W * K) { sums(i % K) += nPhi(i); i += 1 }
+    val phiProb = Array.tabulate(K)(k =>
+      Array.tabulate(W)(w => nPhi(w * K + k) / sums(k)))
+    val bc = spark.sparkContext.broadcast(phiProb)
+    val parts = state.mapPartitions { it =>
+      val p = bc.value
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var lp = 0.0
+      it.foreach { d =>
+        var ts = 0.0
+        var k = 0
+        while (k < p.length) { ts += d.theta(k); k += 1 }
+        var t = 0
+        while (t < d.terms.length) {
+          val w = d.terms(t)
+          var dot = 0.0
+          k = 0
+          while (k < p.length) { dot += p(k)(w) * (d.theta(k) / ts); k += 1 }
+          lp += (math.log(dot) / math.log(2.0)) * d.cnts(t)
+          t += 1
+        }
+      }
+      Iterator((pid, lp))
+    }.collect().sortBy(_._1)
+    bc.destroy()
+    val logProb = parts.foldLeft(0.0)(_ + _._2)
+    math.pow(2.0, -logProb / wordsInCorpus)
   }
 
   def fitTransform(docs: DataFrame, docIdCol: String, entriesCol: String,

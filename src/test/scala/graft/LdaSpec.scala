@@ -102,6 +102,28 @@ class LdaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("perplexity early-stop: converged fixture stops early, posteriors " +
+    "match the full run within tolerance (lda.go:530-539)") {
+    // evaluate every 5 passes with a generous tolerance: the planted
+    // corpus converges in well under 30 passes, so the stop must fire
+    val esCfg = cfg.copy(perplexityEvaluationFrequency = 5,
+      perplexityTolerance = 0.5)
+    val full = cfg.copy(perplexityEvaluationFrequency = 0)
+    val mEarly = Lda.fit(corpus, "doc_id", "entries", esCfg)
+    val mFull = Lda.fit(corpus, "doc_id", "entries", full)
+    assert(mFull.itersRun === cfg.iterations)
+    assert(mEarly.itersRun < cfg.iterations,
+      s"early stop never fired (ran ${mEarly.itersRun})")
+    val a = mEarly.transform(corpus, "doc_id", "entries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val b = mFull.transform(corpus, "doc_id", "entries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (d <- a.keys) {
+      assert(a(d).zipWithIndex.maxBy(_._1)._2 === b(d).zipWithIndex.maxBy(_._1)._2)
+      for (k <- 0 until topics) assert(math.abs(a(d)(k) - b(d)(k)) < 0.05)
+    }
+  }
+
   test("perplexity of the fitted model beats the uniform model") {
     val model = Lda.fit(corpus, "doc_id", "entries", cfg)
     val p = model.perplexity(corpus, "doc_id", "entries")

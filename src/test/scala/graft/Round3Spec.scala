@@ -113,6 +113,34 @@ class Round3Spec extends AnyFunSuite with SparkSpec {
     assert(loaded.idf.count() === m.idf.count())
   }
 
+  test("doc-id collision: colliding ids are re-id'd deterministically and " +
+    "unrelated docs do NOT co-cluster") {
+    import spark.implicits._
+    def doc(p: String) = (1 to 60).map(i =>
+      p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+    // two UNRELATED docs forced onto one doc_id via the caller-supplied
+    // id column (a genuine xxhash64 collision needs a ~2^32 search;
+    // planting the id is equivalent at the pipeline layer)
+    val pages = Seq(
+      ("u1", doc("aa"), 7L), ("u2", doc("bb"), 7L), ("u3", doc("cc"), 8L))
+      .toDF("url", "text", "doc_id")
+    val out = DedupPipeline.run(pages, DedupConfig())
+    val clusters = out.select("url", "cluster").as[(String, Long)]
+      .collect().toMap
+    assert(clusters("u1") !== clusters("u2"),
+      "docs sharing a collided id must not co-cluster")
+    assert(clusters.values.toSet.size === 3)
+    // resolution is deterministic (resume / re-run stability)
+    val ext = DedupPipeline.extract(pages, DedupConfig())
+    val r1 = DedupPipeline.resolveIdCollisions(ext, DedupConfig())
+      .select("url", "doc_id").as[(String, Long)].collect().toMap
+    val r2 = DedupPipeline.resolveIdCollisions(ext, DedupConfig())
+      .select("url", "doc_id").as[(String, Long)].collect().toMap
+    assert(r1 === r2)
+    assert(r1.values.toSet.size === 3, "all ids distinct after resolution")
+    assert(r1("u3") === 8L, "non-colliding ids unchanged")
+  }
+
   test("capped_collect ignores null rows entirely — members AND total") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
