@@ -1,0 +1,69 @@
+package graft.lsh
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Mutable LSH-Forest index — the reference `Indexer` mutation surface
+ * (Index/Search/Remove, `/root/reference/index.go:47-51`) for the
+ * Forest variant (`/root/reference/lsh.go:244-265`), which round 2 left
+ * batch-search-only. Backed by the same storage pattern as
+ * [[graft.ops.IncrementalIndex]]: a per-batch partitioned Parquet
+ * signature table, idempotent per-batch puts, and an atomic
+ * directory-swap remove through the Hadoop FS API.
+ *
+ * The row contract is signature-level — (id: long, sig: long 64-bit
+ * SimHash) — because the forest indexes signatures; hashing text into
+ * signatures is the pipeline's job (`DedupPipeline.applySignatures`),
+ * exactly as the reference hashes before `ClassicLSH.Put`
+ * (`lsh.go:75-80`).
+ *
+ * Scale shape: a put touches only the new batch; a search reads the
+ * stored table once per expansion round via [[LshForest.searchTopK]]'s
+ * log-round prefix equi-joins; remove rewrites into a temp dir and
+ * swaps (the read source is never the write target).
+ */
+class ForestIndex(spark: SparkSession, path: String,
+                  tables: Int = 4, step: Int = 8, minPrefix: Int = 16) {
+  import graft.ckpt.Fs
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def sigPath = s"$path/sigs"
+
+  def isEmpty: Boolean = !Fs.exists(sigPath, hconf)
+
+  /** Append (id, sig) rows as a new batch (reference `Index(v, id)`). */
+  def put(sigs: DataFrame): Unit = putBatch(sigs, nextBatchId())
+
+  /** Idempotent per-batch insert (streaming replay safe). */
+  def putBatch(sigs: DataFrame, batchId: Long): Unit =
+    sigs.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig"))
+      .write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
+
+  private def nextBatchId(): Long = {
+    val ids = Fs.listNames(sigPath, hconf)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
+  /** Remove documents by id (reference `Remove(id)`, `index.go:119-136`):
+    * anti-join rewrite into a temp dir, then an atomic swap. */
+  def remove(ids: DataFrame): Unit = {
+    val swap = s"$path/.sigs.swap"
+    spark.read.parquet(sigPath)
+      .join(ids.select(col("id").cast("long").as("id")), Seq("id"), "left_anti")
+      .write.mode("overwrite").partitionBy("batch").parquet(swap)
+    Fs.swapInto(swap, sigPath, hconf)
+  }
+
+  def all(): DataFrame = spark.read.parquet(sigPath)
+
+  /** Top-k Hamming neighbours of `queries` (qid, sig) against the
+    * stored forest (reference `Search`, `lsh.go:194-240` prefix
+    * expansion + `index.go:236-251` ranking).
+    * Returns (query_id, neighbor_id, hamming, rank). */
+  def search(queries: DataFrame, k: Int): DataFrame =
+    LshForest.searchTopK(all(), "id",
+      queries.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig")),
+      "id", "sig", k, tables, step, minPrefix)
+}

@@ -26,7 +26,46 @@ object Multimodal {
                            meanByte: Double, entropy: Double,
                            feature: Array[Float])
 
-  /** STUB decoder — deterministic fake "embedding" from payload bytes:
+  /**
+   * Decoder seam: a codec-bearing environment drops a real media
+   * decoder in WITHOUT touching the Spark-side plumbing (schema,
+   * partition batching, output contract). Contract (see DESIGN.md):
+   *  - must be Serializable (ships inside the task closure);
+   *  - `open()` is called once per partition before any decode (codec
+   *    contexts, native handles), `close()` after the last row;
+   *  - `decode` must be deterministic per (docId, bytes) — signatures
+   *    and features feed deterministic fits downstream;
+   *  - never throw on malformed payloads: return a zero/empty feature
+   *    and let quality filters drop the row (a throwing decoder kills
+   *    the whole task and, after retries, the job).
+   */
+  trait Decoder extends Serializable {
+    def name: String
+    def open(): Unit = ()
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures
+    def close(): Unit = ()
+  }
+
+  /** The environment-limitation stub (no media libs in this container),
+    * registered as the default: deterministic fake features from byte
+    * statistics. */
+  object StubDecoder extends Decoder {
+    def name: String = "stub"
+    def decode(docId: Long, bytes: Array[Byte]): MediaFeatures =
+      decodeStub(docId, bytes)
+  }
+
+  /** Name → decoder registry for config-driven pipelines. */
+  object Decoders {
+    private val reg =
+      scala.collection.concurrent.TrieMap[String, Decoder]("stub" -> StubDecoder)
+    def register(d: Decoder): Unit = reg.put(d.name, d)
+    def apply(name: String): Decoder = reg.getOrElse(name,
+      throw new NoSuchElementException(
+        s"no decoder '$name' registered (have: ${reg.keys.mkString(", ")})"))
+  }
+
+  /** STUB decode — deterministic fake "embedding" from payload bytes:
     * byte histogram statistics + 8 hashed moments. A real implementation
     * would decode pixels/samples here. byteSum is carried as an exact
     * integer so the oracle face of this operator has a float-free column. */
@@ -49,16 +88,29 @@ object Multimodal {
   }
 
   /** Batched feature extraction over (docId, payload) — partition-at-a-
-    * time like mapInPandas; repartition upstream to control batch size. */
-  def extractFeatures(media: DataFrame, docIdCol: String, payloadCol: String)
-  : Dataset[MediaFeatures] = {
+    * time like mapInPandas; repartition upstream to control batch size.
+    * Any registered [[Decoder]] runs through this same path. */
+  def extractFeatures(media: DataFrame, docIdCol: String, payloadCol: String,
+                      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val dec = decoder
     media.select(col(docIdCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        // real decoders initialise once per batch here (codec contexts etc.)
-        batch.map { case (id, bytes) => decodeStub(id, bytes) }
+        dec.open() // once per partition: codec contexts, native handles
+        var closed = false
+        new Iterator[MediaFeatures] {
+          def hasNext: Boolean = {
+            val h = batch.hasNext
+            if (!h && !closed) { closed = true; dec.close() }
+            h
+          }
+          def next(): MediaFeatures = {
+            val (id, bytes) = batch.next()
+            dec.decode(id, bytes)
+          }
+        }
       }
   }
 

@@ -31,6 +31,30 @@ class LshForestSpec extends AnyFunSuite with SparkSpec {
     }.toDF("doc_id", "sig")
   }
 
+  test("forest index mutation: put/search/remove (index.go:119-136, " +
+    "lsh.go:244-265)") {
+    import spark.implicits._
+    val tmp = "file:" +
+      java.nio.file.Files.createTempDirectory("graft-forest-idx").toString
+    val idx = new graft.lsh.ForestIndex(spark, tmp)
+    assert(idx.isEmpty)
+    val rows = sigs.select(col("doc_id").as("id"), col("sig"))
+    idx.put(rows.filter(col("id") < 1000))
+    idx.put(rows.filter(col("id") >= 1000)) // second batch, same stats-free surface
+    assert(!idx.isEmpty && idx.all().count() === n)
+    val queries = rows.filter(col("id") < 100)
+    val top1 = idx.search(queries, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 100L).forall(q => top1.get(q).contains(q ^ 1L)),
+      "cross-batch search must find planted partners")
+    // remove the partner of query 0: it must no longer be retrievable
+    idx.remove(Seq(1L).toDF("id"))
+    assert(idx.all().count() === n - 1)
+    val after = idx.search(rows.filter(col("id") === 0L), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!after.get(0L).contains(1L), "removed doc still retrievable")
+  }
+
   test("planted partners are retrieved as top-1") {
     val df = sigs
     val queries = df.filter(col("doc_id") < 100)

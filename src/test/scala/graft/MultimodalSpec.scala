@@ -33,4 +33,29 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(rows(3L).entropy === 0.0)
     assert(rows(2L).byteLen === 0L && rows(2L).byteSum === 0L)
   }
+
+  test("decoder seam: a second registered decoder runs through the same " +
+    "plumbing with per-partition open/close") {
+    import spark.implicits._
+    val media = Seq((1L, "xy"), (2L, "z")).toDF("doc_id", "text")
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    Multimodal.Decoders.register(LenDecoder)
+    val byName = Multimodal.Decoders("len")
+    val out = Multimodal.extractFeatures(media, "doc_id", "payload", byName)
+      .collect().map(r => r.docId -> r).toMap
+    assert(out(1L).feature.toSeq === Seq(2f), "decoder output flows through")
+    assert(out(2L).feature.toSeq === Seq(1f))
+    assert(out(1L).entropy === -1.0, "stub not used when a decoder is passed")
+    intercept[NoSuchElementException] { Multimodal.Decoders("gpu-jpeg") }
+  }
+}
+
+/** Test decoder: feature = [byte length]; entropy sentinel -1 proves the
+  * stub was bypassed. Top-level object so the closure cleaner ships it
+  * without dragging the suite in. */
+object LenDecoder extends Multimodal.Decoder {
+  def name: String = "len"
+  def decode(docId: Long, bytes: Array[Byte]): Multimodal.MediaFeatures =
+    Multimodal.MediaFeatures(docId, bytes.length, 0L, 0.0, -1.0,
+      Array(bytes.length.toFloat))
 }
