@@ -109,22 +109,45 @@ object Bench {
     gb / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Times one full dedup run. Returns (docs, sec, stealPct, bwMean,
+    * bwMax): bandwidth is sampled by an in-run daemon every ~6 s —
+    * endpoint-only canaries missed mid-run bandwidth collapses (a
+    * 4-minute degraded 8-core run once recorded clean endpoints while a
+    * 2-core run finished 3.5× faster); the RUN-MEAN is the quality
+    * signal the retry gates use. Sampling costs ~2% of one level's
+    * cores and is uniform across levels, so ratios are unaffected. */
   private[graft] def timeDedup(cores: Int, partitions: Int, sfDir: String,
-                        synthetic: Int): (Long, Double, Double) = {
+                        synthetic: Int): (Long, Double, Double, Double, Double) = {
     val spark = session(cores, partitions)
     try {
       val input = corpus(spark, sfDir, synthetic).cache()
       val n = input.count() // materialise input outside the timed window
+      val bwSamples = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+      @volatile var sampling = true
+      val sampler = new Thread(() => {
+        while (sampling) {
+          bwSamples.add(canaryGbps())
+          try Thread.sleep(6000) catch { case _: InterruptedException => () }
+        }
+      })
+      sampler.setDaemon(true)
       val (s0, t0ticks) = cpuStat()
       val t0 = System.nanoTime()
+      sampler.start()
       val out = DedupPipeline.run(input, DedupConfig())
       out.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      sampling = false
+      sampler.interrupt()
+      sampler.join(1000)
       val (s1, t1ticks) = cpuStat()
       val stealPct =
         if (t1ticks > t0ticks) 100.0 * (s1 - s0) / (t1ticks - t0ticks) else 0.0
       input.unpersist()
-      (n, sec, stealPct)
+      val bws = bwSamples.toArray.map(_.asInstanceOf[java.lang.Double].doubleValue)
+      val bwMean = if (bws.nonEmpty) bws.sum / bws.length else 0.0
+      val bwMax = if (bws.nonEmpty) bws.max else 0.0
+      (n, sec, stealPct, bwMean, bwMax)
     } finally spark.stop()
   }
 
@@ -230,29 +253,35 @@ object Bench {
     val tBudget0 = System.nanoTime()
     def budgetLeft: Boolean = (System.nanoTime() - tBudget0) / 1e9 < budgetSec
 
+    // run-mean bandwidth quality baseline: the best RUN-MEAN observed
+    // across all levels' attempts. Gating compares each attempt's own
+    // run-mean against this (same statistic), not against momentary
+    // endpoint spikes — an endpoint canary once recorded a 4-minute
+    // mid-run bandwidth collapse as "clean"
+    var bestMeanBw = 0.0
     final class Level(val cores: Int, val targetClean: Int, val maxAttempts: Int) {
       val samples =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
       var attempts = 0
       def clean: Seq[(Long, Double, Double, Double)] = samples.toSeq.filter(s =>
-        s._3 <= maxSteal && canaryBest / s._4 <= maxSlow)
+        s._3 <= maxSteal && bestMeanBw / s._4 <= maxSlow)
       // run while under the attempt cap and short of clean samples; past
       // the budget only a level with NO clean sample keeps running
       def wantsRun: Boolean = attempts < maxAttempts &&
         clean.size < targetClean && (budgetLeft || clean.isEmpty)
       def attempt(sfDir: String, synthetic: Int): Unit = {
-        val c0 = canaryGbps()
         // a crashed attempt (e.g. task-memory exhaustion under a hostile
         // GC/bandwidth window) must not kill the bench — prior good
         // samples are still valid; log and move on
         try {
-          val (n, sec, steal) = timeDedup(cores, parts(cores), sfDir, synthetic)
-          val c1 = canaryGbps()
-          canaryBest = canaryBest.max(c0).max(c1)
-          samples += ((n, sec, steal, math.min(c0, c1)))
+          val (n, sec, steal, bwMean, bwMax) =
+            timeDedup(cores, parts(cores), sfDir, synthetic)
+          canaryBest = canaryBest.max(bwMax)
+          bestMeanBw = math.max(bestMeanBw, bwMean)
+          samples += ((n, sec, steal, bwMean))
           System.err.println(f"[bench] cores=$cores attempt=${attempts + 1} " +
-            f"sec=$sec%.2f steal=$steal%.1f%% bw=${math.min(c0, c1)}%.0f" +
-            f"/${canaryBest}%.0f GB/s")
+            f"sec=$sec%.2f steal=$steal%.1f%% bwMean=$bwMean%.0f" +
+            f"/$bestMeanBw%.0f GB/s")
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] cores=$cores attempt=${attempts + 1} " +
@@ -263,7 +292,7 @@ object Bench {
       def pick: (Long, Double, Double, Double, Int, Int) = {
         require(samples.nonEmpty, s"all $attempts dedup attempts failed at cores=$cores")
         val (n, sec, steal, bw) = samples.minBy(_._2)
-        (n, sec, steal, canaryBest / bw, attempts, clean.size)
+        (n, sec, steal, if (bw > 0) bestMeanBw / bw else 0.0, attempts, clean.size)
       }
     }
     // cheap levels first within each round; the expensive S leg takes

@@ -122,8 +122,13 @@ object DedupPipeline {
    * silent 64-bit collision merges two unrelated documents into one
    * cluster downstream (CC joins on doc_id).
    *
-   * Scale shape: the audit aggregation ships a slim (doc_id, url-tail)
-   * projection once per round (map-side combined); the collision set
+   * Scale shape: the audit aggregation ships a slim (doc_id, url-hash)
+   * projection once per round — 16 B/doc, the url string itself never
+   * rides the exchange: distinct urls are counted via an INDEPENDENT
+   * second-seed hash (`xxhash64(url, 1)`), so missing a true collision
+   * requires the same pair to collide under both seeds (~2⁻⁶⁴ per
+   * pair — vanishing against the ~10⁻¹² per-pair odds being audited);
+   * the aggregation is map-side combined; the collision set
    * itself is birthday-bounded (~10^4 rows at 10^12 docs), so the
    * remap join broadcasts it unless a pathological corpus exceeds
    * [[DedupConfig.broadcastIdLimit]]. Zero collisions (the common
@@ -134,7 +139,7 @@ object DedupPipeline {
     var round = 0
     while (round <= cfg.idAuditRounds && cfg.idAuditRounds > 0) {
       val bad = cur.groupBy("doc_id")
-        .agg(countDistinct(col("url")).as("u"))
+        .agg(countDistinct(xxhash64(col("url"), lit(1))).as("u"))
         .filter(col("u") > 1).select("doc_id")
       val nBad = bad.count()
       if (nBad == 0) return cur

@@ -31,20 +31,22 @@ class ScalingSpec extends AnyFunSuite {
 
     Bench.timeDedup(hi, parts(hi), sfDir, 2000) // JIT warmup
     Bench.canaryGbps() // canary JIT warmup
-    var cal = (1 to 5).map(_ => Bench.canaryGbps()).max
+    // quality baseline = best RUN-MEAN bandwidth across attempts (the
+    // in-run sampler; endpoint-only canaries miss mid-run collapses)
+    var bestMean = 0.0
 
-    /** One clean (steal + bandwidth-canary gated) sample, ≤3 attempts. */
-    def measure(cores: Int): Option[(Long, Double)] = {
-      var best: Option[(Long, Double)] = None
+    /** One clean (steal + run-mean-bandwidth gated) sample, ≤3 attempts. */
+    def measure(cores: Int): Option[(Long, Double, Double)] = {
+      var best: Option[(Long, Double, Double)] = None
       var tries = 0
       while (tries < 3 && best.isEmpty) {
-        val c0 = Bench.canaryGbps()
-        val (n, sec, steal) = Bench.timeDedup(cores, parts(cores), sfDir, docs)
-        val c1 = Bench.canaryGbps()
-        cal = cal.max(c0).max(c1)
-        val slow = cal / math.min(c0, c1)
-        info(f"cores=$cores sec=$sec%.1f steal=$steal%.1f%% slowdown=$slow%.2f")
-        if (steal <= 5.0 && slow <= 1.3) best = Some((n, sec))
+        val (n, sec, steal, bwMean, _) =
+          Bench.timeDedup(cores, parts(cores), sfDir, docs)
+        bestMean = math.max(bestMean, bwMean)
+        val slow = if (bwMean > 0) bestMean / bwMean else 99.0
+        info(f"cores=$cores sec=$sec%.1f steal=$steal%.1f%% " +
+          f"bwMean=$bwMean%.0f slowdown=$slow%.2f")
+        if (steal <= 5.0 && slow <= 1.3) best = Some((n, sec, bwMean))
         tries += 1
       }
       best
@@ -52,12 +54,16 @@ class ScalingSpec extends AnyFunSuite {
 
     val hiM = measure(hi)
     val loM = measure(lo)
-    assume(hiM.nonEmpty && loM.nonEmpty,
-      "CONTENDED HOST WINDOW (steal/bandwidth canary gates failed on " +
-        "every attempt at a level) — scaling gate skipped; re-run in a " +
-        "clean window")
-    val (nH, sH) = hiM.get
-    val (nL, sL) = loM.get
+    // post-hoc recheck: a later attempt can raise the baseline and
+    // reveal an earlier "clean" sample as window-degraded
+    def stillClean(s: Option[(Long, Double, Double)]) =
+      s.exists(v => bestMean / v._3 <= 1.3)
+    assume(hiM.nonEmpty && loM.nonEmpty && stillClean(hiM) && stillClean(loM),
+      "CONTENDED HOST WINDOW (steal/run-mean-bandwidth gates failed, or " +
+        "an accepted sample went stale against the final baseline) — " +
+        "scaling gate skipped; re-run in a clean window")
+    val (nH, sH, _) = hiM.get
+    val (nL, sL, _) = loM.get
     val eff = (nH / sH) / (4.0 * (nL / sL))
     info(f"thr@$hi=${nH / sH}%.0f docs/s thr@$lo=${nL / sL}%.0f docs/s " +
       f"efficiency=$eff%.3f")
