@@ -20,11 +20,15 @@ class ScalingSpec extends AnyFunSuite {
     "(opt-in: SPARK_GRAFT_SCALING_SPEC=1, canary-gated)") {
     assume(sys.env.get("SPARK_GRAFT_SCALING_SPEC").contains("1"),
       "opt-in scaling gate skipped — set SPARK_GRAFT_SCALING_SPEC=1 to run")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    // sized so data-parallel work dominates the fixed driver floor at
-    // both levels (floor ~15-20 s poisons the ratio below ~150k docs)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // EXACTLY the bench's measured configuration (374.6k docs total):
+    // at this corpus the 2-core leg is stable across windows (min
+    // 144.9-151.3 s over three independent runs) and the 2→8 pair
+    // reproduced 0.92 twice; a smaller corpus shifts the floor/work
+    // ratio and measured 0.5 even in clean windows — the gate asserts
+    // the SAME quantity BASELINE.md records, not a scaled-down proxy
     val docs = sys.env.get("SPARK_GRAFT_SCALING_SPEC_DOCS")
-      .map(_.toInt).getOrElse(200000)
+      .map(_.toInt).getOrElse(330000)
     val hi = 8
     val lo = 2
     def parts(c: Int) = math.max(c, docs / 100000)
@@ -32,38 +36,46 @@ class ScalingSpec extends AnyFunSuite {
     Bench.timeDedup(hi, parts(hi), sfDir, 2000) // JIT warmup
     Bench.canaryGbps() // canary JIT warmup
     // quality baseline = best RUN-MEAN bandwidth across attempts (the
-    // in-run sampler; endpoint-only canaries miss mid-run collapses)
+    // in-run sampler; endpoint-only canaries miss mid-run collapses).
+    // Attempts ALTERNATE between levels and cleanliness is re-evaluated
+    // against the GROWING baseline each round, so a degraded first
+    // sample that trivially defined the baseline gets retried once a
+    // later attempt reveals the host's real bandwidth.
     var bestMean = 0.0
-
-    /** One clean (steal + run-mean-bandwidth gated) sample, ≤3 attempts. */
-    def measure(cores: Int): Option[(Long, Double, Double)] = {
-      var best: Option[(Long, Double, Double)] = None
-      var tries = 0
-      while (tries < 3 && best.isEmpty) {
-        val (n, sec, steal, bwMean, _) =
-          Bench.timeDedup(cores, parts(cores), sfDir, docs)
-        bestMean = math.max(bestMean, bwMean)
-        val slow = if (bwMean > 0) bestMean / bwMean else 99.0
-        info(f"cores=$cores sec=$sec%.1f steal=$steal%.1f%% " +
-          f"bwMean=$bwMean%.0f slowdown=$slow%.2f")
-        if (steal <= 5.0 && slow <= 1.3) best = Some((n, sec, bwMean))
-        tries += 1
-      }
-      best
+    final case class S(n: Long, sec: Double, steal: Double, bw: Double)
+    val samples = Map(hi -> scala.collection.mutable.ArrayBuffer.empty[S],
+                      lo -> scala.collection.mutable.ArrayBuffer.empty[S])
+    def attempt(cores: Int): Unit = {
+      val (n, sec, steal, bwMean, _) =
+        Bench.timeDedup(cores, parts(cores), sfDir, docs)
+      bestMean = math.max(bestMean, bwMean)
+      info(f"cores=$cores sec=$sec%.1f steal=$steal%.1f%% bwMean=$bwMean%.0f" +
+        f"/$bestMean%.0f GB/s")
+      samples(cores) += S(n, sec, steal, bwMean)
     }
-
-    val hiM = measure(hi)
-    val loM = measure(lo)
-    // post-hoc recheck: a later attempt can raise the baseline and
-    // reveal an earlier "clean" sample as window-degraded
-    def stillClean(s: Option[(Long, Double, Double)]) =
-      s.exists(v => bestMean / v._3 <= 1.3)
-    assume(hiM.nonEmpty && loM.nonEmpty && stillClean(hiM) && stillClean(loM),
-      "CONTENDED HOST WINDOW (steal/run-mean-bandwidth gates failed, or " +
-        "an accepted sample went stale against the final baseline) — " +
+    // 1.15, tighter than Bench's 1.3: the asserted ratio tolerates at
+    // most ~±15% window asymmetry between the two levels — a sample at
+    // 1.25 slowdown once passed a 1.3 gate while being ~45% inflated
+    // (the mean can hide a front-loaded collapse), failing the assert
+    // in a window where a faithful pair measures 0.88-0.92
+    def cleanMin(cores: Int): Option[S] =
+      samples(cores).filter(s => s.steal <= 5.0 &&
+        (s.bw > 0 && bestMean / s.bw <= 1.15)).sortBy(_.sec).headOption
+    var round = 0
+    while (round < 4 && (cleanMin(hi).isEmpty || cleanMin(lo).isEmpty)) {
+      if (cleanMin(hi).isEmpty) attempt(hi)
+      if (cleanMin(lo).isEmpty) attempt(lo)
+      round += 1
+    }
+    assume(cleanMin(hi).nonEmpty && cleanMin(lo).nonEmpty,
+      "CONTENDED HOST WINDOW (steal/run-mean-bandwidth gates failed on " +
+        "every attempt at a level, judged against the final baseline) — " +
         "scaling gate skipped; re-run in a clean window")
-    val (nH, sH, _) = hiM.get
-    val (nL, sL, _) = loM.get
+    // Bench's estimator: min over ALL samples per level — contention
+    // only inflates wall time, so the fastest sample is the most
+    // faithful; cleanliness gated the skip/run decision above
+    val S(nH, sH, _, _) = samples(hi).minBy(_.sec)
+    val S(nL, sL, _, _) = samples(lo).minBy(_.sec)
     val eff = (nH / sH) / (4.0 * (nL / sL))
     info(f"thr@$hi=${nH / sH}%.0f docs/s thr@$lo=${nL / sL}%.0f docs/s " +
       f"efficiency=$eff%.3f")
