@@ -254,31 +254,46 @@ object DedupPipeline {
       .filter(col("kind") === 0 || col("df") > cfg.hotShingleMinDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // collect 1 (triggers the corpus pass): doc-count sentinel + idf —
-      // bounded by numFeatures
-      val termRows = slim.filter(col("kind") === 0).collect()
-      var n = 0L
-      termRows.foreach { r => if (r.getLong(1) == -1L) n = r.getLong(2) }
-      // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
-      val terms = termRows.filter(_.getLong(1) >= 0).sortBy(_.getLong(1))
-      val idfTerms = terms.map(_.getLong(1))
-      val idfVals = terms.map(r => math.log((1.0 + n) / (1.0 + r.getLong(2))))
-      // collect 2 (cached scan, no second corpus pass): full df threshold
-      // pushed executor-side now that n is known; the cap is a global
-      // top-k (TakeOrderedAndProject — per-partition bounded heaps, the
-      // driver merges ≤cap rows), tie-broken on id for determinism. Any
-      // over-threshold shingle outranks every sub-threshold one, so when
-      // the over-threshold population fits the cap this is exactly that
-      // population — same semantics as an unbounded collect + cap.
-      val dfThreshold = math.max(cfg.hotShingleMinDf.toLong,
-        (cfg.hotShingleDfFrac * n).toLong)
-      val hotRows = slim
-        .filter(col("kind") === 1 && col("df") > dfThreshold)
+      // ONE action collects both halves (driver-job floor is part of the
+      // scaling F — see BASELINE.md): the idf branch is the kind-0 rows
+      // (bounded by numFeatures); the hot-shingle branch computes the
+      // full df threshold IN-PLAN (the doc-count sentinel cross-joined
+      // as a one-row broadcast, so n never round-trips the driver) and
+      // caps survivors with a global top-k (TakeOrderedAndProject —
+      // per-partition bounded heaps, ≤cap rows reach the driver),
+      // tie-broken on id for determinism. Any over-threshold shingle
+      // outranks every sub-threshold one, so when the over-threshold
+      // population fits the cap this is exactly that population — same
+      // semantics as an unbounded collect + cap. Both branches scan the
+      // SAME persisted frame: the corpus pass still runs once.
+      val nDf = slim.filter(col("kind") === 0 && col("id") === -1L)
+        .select(col("df").as("n"))
+      val inPlanThreshold = greatest(lit(cfg.hotShingleMinDf.toLong),
+        (lit(cfg.hotShingleDfFrac) * col("n")).cast("long"))
+      val hotTopK = slim.filter(col("kind") === 1)
+        .crossJoin(broadcast(nDf))
+        .filter(col("df") > inPlanThreshold)
+        .select(col("kind"), col("id"), col("df"))
         .orderBy(col("df").desc, col("id").asc)
         .limit(cfg.hotShingleCap)
+      val rows = slim.filter(col("kind") === 0)
+        .select(col("kind"), col("id"), col("df"))
+        .unionByName(hotTopK)
         .collect()
+      var n = 0L
+      rows.foreach { r =>
+        if (r.getInt(0) == 0 && r.getLong(1) == -1L) n = r.getLong(2)
+      }
+      // sparse sorted (term, idf) arrays — vocab-sized, not numFeatures-sized
+      val terms = rows.filter(r => r.getInt(0) == 0 && r.getLong(1) >= 0)
+        .sortBy(_.getLong(1))
+      val idfTerms = terms.map(_.getLong(1))
+      val idfVals = terms.map(r => math.log((1.0 + n) / (1.0 + r.getLong(2))))
+      val hotRows = rows.filter(_.getInt(0) == 1)
       if (hotRows.length >= cfg.hotShingleCap) {
         // no silent caps: dropped volume must be visible (cheap cached count)
+        val dfThreshold = math.max(cfg.hotShingleMinDf.toLong,
+          (cfg.hotShingleDfFrac * n).toLong)
         val total = slim.filter(col("kind") === 1 && col("df") > dfThreshold).count()
         System.err.println(
           s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} of " +
