@@ -229,10 +229,6 @@ object Bench {
     timeDedup(cpusN, parts(cpusN), sfDir, math.min(2000, synthetic)) // JIT warmup
     timeDedup(cpus4N, parts(cpus4N), sfDir, math.min(2000, synthetic))
     canaryGbps() // canary JIT warmup
-    // running max over ALL canary readings — the initial calibration can
-    // itself land in a degraded window, and a stale "best" makes every
-    // later slowdown ratio meaningless
-    var canaryBest = (1 to 5).map(_ => canaryGbps()).max
     // host bandwidth-scaling calibration: how much MORE total bandwidth
     // 4N streaming threads get than N (and N than S) on this box. A
     // shuffle-heavy job cannot scale past this ceiling on a single
@@ -241,7 +237,6 @@ object Bench {
     val bwS = if (smallPair) (1 to 3).map(_ => canaryGbps(cpusS)).max else 0.0
     val bwN = (1 to 3).map(_ => canaryGbps(cpusN)).max
     val bw4N = (1 to 3).map(_ => canaryGbps(cpus4N)).max
-    canaryBest = canaryBest.max(bwN).max(bw4N / 4)
     val hostBwScale = bw4N / bwN
     val hostBwScaleSmall = if (smallPair) bwN / bwS else 0.0
     // retry-until-clean, min-of-ALL: host contention (steal, bandwidth
@@ -253,18 +248,20 @@ object Bench {
     val tBudget0 = System.nanoTime()
     def budgetLeft: Boolean = (System.nanoTime() - tBudget0) / 1e9 < budgetSec
 
-    // run-mean bandwidth quality baseline: the best RUN-MEAN observed
-    // across all levels' attempts. Gating compares each attempt's own
-    // run-mean against this (same statistic), not against momentary
-    // endpoint spikes — an endpoint canary once recorded a 4-minute
-    // mid-run bandwidth collapse as "clean"
-    var bestMeanBw = 0.0
+    // run-mean bandwidth quality baseline, PER LEVEL: each attempt's
+    // in-run mean is compared against the best mean THIS level has seen.
+    // The in-run reading is depressed by the measured job's own memory
+    // traffic (a 32-thread run leaves the 8-thread canary visibly less
+    // bandwidth than a 2-thread run does), so a cross-level baseline
+    // would gate the 4N level against a bar only the S level can reach.
+    // The sampling COST is uniform across levels; the READING is not.
     final class Level(val cores: Int, val targetClean: Int, val maxAttempts: Int) {
       val samples =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Double)]
       var attempts = 0
+      var bestMeanBw = 0.0
       def clean: Seq[(Long, Double, Double, Double)] = samples.toSeq.filter(s =>
-        s._3 <= maxSteal && bestMeanBw / s._4 <= maxSlow)
+        s._3 <= maxSteal && (s._4 > 0 && bestMeanBw / s._4 <= maxSlow))
       // run while under the attempt cap and short of clean samples; past
       // the budget only a level with NO clean sample keeps running
       def wantsRun: Boolean = attempts < maxAttempts &&
@@ -274,9 +271,8 @@ object Bench {
         // GC/bandwidth window) must not kill the bench — prior good
         // samples are still valid; log and move on
         try {
-          val (n, sec, steal, bwMean, bwMax) =
+          val (n, sec, steal, bwMean, _) =
             timeDedup(cores, parts(cores), sfDir, synthetic)
-          canaryBest = canaryBest.max(bwMax)
           bestMeanBw = math.max(bestMeanBw, bwMean)
           samples += ((n, sec, steal, bwMean))
           System.err.println(f"[bench] cores=$cores attempt=${attempts + 1} " +
@@ -312,11 +308,14 @@ object Bench {
     val (docs4N, sec4N, steal4N, slow4N, att4N, clean4N) = lvl4N.pick
     val thrN = docsN / secN
     val thr4N = docs4N / sec4N
-    val eff = thr4N / (4.0 * thrN)
+    // use the ACTUAL core ratios: integer division can make the level
+    // spacing ≠ 4 (e.g. SPARK_GRAFT_CPUS=8 → levels 1/2/8), and a
+    // hardcoded 4× would misreport perfect scaling as 0.5
+    val eff = thr4N / ((cpus4N.toDouble / cpusN) * thrN)
     val smallJson = lvlS.headOption.map { l =>
       val (docsS, secS, stealS, slowS, attS, cleanS) = l.pick
       val thrS = docsS / secS
-      val effSmall = thrN / (4.0 * thrS)
+      val effSmall = thrN / ((cpusN.toDouble / cpusS) * thrS)
       s""""cores_s":$cpusS,"sec_s":${"%.2f".format(secS)},""" +
       s""""thr_s":${"%.1f".format(thrS)},""" +
       s""""steal_s_pct":${"%.1f".format(stealS)},""" +

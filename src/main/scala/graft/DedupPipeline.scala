@@ -135,7 +135,13 @@ object DedupPipeline {
    * case) = one audit aggregation and an unchanged frame.
    */
   def resolveIdCollisions(extracted: DataFrame, cfg: DedupConfig): DataFrame = {
-    var cur = extracted
+    // null caller-supplied ids are normalised up front (narrow
+    // projection): the audit's equi-join can never match a null key, so
+    // a null collision group would survive every rehash round and die
+    // with a misleading "unresolved collisions" error — and a lone null
+    // id would silently flow into the doc_id-keyed joins downstream
+    var cur = extracted.withColumn("doc_id",
+      coalesce(col("doc_id"), xxhash64(col("url"))))
     var round = 0
     while (round <= cfg.idAuditRounds && cfg.idAuditRounds > 0) {
       val bad = cur.groupBy("doc_id")
@@ -291,13 +297,16 @@ object DedupPipeline {
       val idfVals = terms.map(r => math.log((1.0 + n) / (1.0 + r.getLong(2))))
       val hotRows = rows.filter(_.getInt(0) == 1)
       if (hotRows.length >= cfg.hotShingleCap) {
-        // no silent caps: dropped volume must be visible (cheap cached count)
+        // the cap MAY have bound — count the true population (cheap
+        // cached scan) and warn only if something was actually dropped
+        // (no silent caps, but also no false alarms on an exact fit)
         val dfThreshold = math.max(cfg.hotShingleMinDf.toLong,
           (cfg.hotShingleDfFrac * n).toLong)
         val total = slim.filter(col("kind") === 1 && col("df") > dfThreshold).count()
-        System.err.println(
-          s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} of " +
-            s"$total over-threshold shingles (keeping the hottest)")
+        if (total > cfg.hotShingleCap)
+          System.err.println(
+            s"[graft] hot-shingle drop list capped at ${cfg.hotShingleCap} of " +
+              s"$total over-threshold shingles (keeping the hottest)")
       }
       CorpusStats(n, idfTerms, idfVals, hotRows.map(_.getLong(1)).sorted)
     } finally slim.unpersist(blocking = false)

@@ -1,0 +1,60 @@
+package graft.ckpt
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, LongType, StructType}
+
+/**
+ * Partitioned-Parquet batch store shared by the mutable signature
+ * indexes ([[graft.ops.IncrementalIndex]], [[graft.lsh.ForestIndex]]):
+ * per-batch `batch=<id>` partition directories, idempotent per-batch
+ * overwrite (streaming replay safe), atomic directory-swap rewrite for
+ * deletes, all metadata through the Hadoop FS API ([[Fs]]).
+ *
+ * A schema manifest (`<root>.schema.json`, a SIBLING of the data dir so
+ * the swap commit cannot delete it) is published on first write and
+ * used for every read: a store whose rows were all removed has no
+ * parquet footers left to infer a schema from — without the manifest,
+ * `all()` after a remove-everything would throw instead of returning
+ * an empty frame.
+ */
+final class BatchStore(spark: SparkSession, root: String) {
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def schemaPath = s"$root.schema.json"
+  private def swapPath = s"$root.swap"
+
+  def isEmpty: Boolean = !Fs.exists(root, hconf)
+
+  def nextBatchId(): Long = {
+    val ids = Fs.listNames(root, hconf)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+    if (ids.isEmpty) 0L else ids.max + 1L
+  }
+
+  /** Idempotent per-batch insert: writing batch `id` twice overwrites
+    * the same partition directory instead of duplicating rows. */
+  def writeBatch(df: DataFrame, batchId: Long): Unit = {
+    df.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+    if (!Fs.exists(schemaPath, hconf)) {
+      // full read-back schema = data columns + the dir-derived batch col
+      val full = df.schema.add("batch", LongType, nullable = true)
+      Fs.writeStringAtomic(schemaPath, full.json, hconf)
+    }
+  }
+
+  /** Every stored row (schema-pinned — works on an emptied store). */
+  def all(): DataFrame =
+    if (Fs.exists(schemaPath, hconf)) {
+      val schema = DataType.fromJson(Fs.readString(schemaPath, hconf))
+        .asInstanceOf[StructType]
+      spark.read.schema(schema).parquet(root)
+    } else spark.read.parquet(root)
+
+  /** Atomic whole-store rewrite: `f(all())` lands in a temp dir, then a
+    * directory swap commits — the read source is never the write
+    * target, so cache eviction or a mid-write crash cannot destroy the
+    * store. The `batch` partition column must survive `f`. */
+  def rewrite(f: DataFrame => DataFrame): Unit = {
+    f(all()).write.mode("overwrite").partitionBy("batch").parquet(swapPath)
+    Fs.swapInto(swapPath, root, hconf)
+  }
+}

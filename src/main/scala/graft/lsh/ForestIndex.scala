@@ -25,38 +25,30 @@ import org.apache.spark.sql.functions._
  */
 class ForestIndex(spark: SparkSession, path: String,
                   tables: Int = 4, step: Int = 8, minPrefix: Int = 16) {
-  import graft.ckpt.Fs
 
-  private val hconf = spark.sparkContext.hadoopConfiguration
-  private def sigPath = s"$path/sigs"
+  // shared batch store (same machinery as IncrementalIndex): per-batch
+  // idempotent puts, schema-pinned reads, swap-commit rewrites
+  private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs")
 
-  def isEmpty: Boolean = !Fs.exists(sigPath, hconf)
+  def isEmpty: Boolean = store.isEmpty
 
   /** Append (id, sig) rows as a new batch (reference `Index(v, id)`). */
-  def put(sigs: DataFrame): Unit = putBatch(sigs, nextBatchId())
+  def put(sigs: DataFrame): Unit = putBatch(sigs, store.nextBatchId())
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(sigs: DataFrame, batchId: Long): Unit =
-    sigs.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig"))
-      .write.mode("overwrite").parquet(s"$sigPath/batch=$batchId")
-
-  private def nextBatchId(): Long = {
-    val ids = Fs.listNames(sigPath, hconf)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    if (ids.isEmpty) 0L else ids.max + 1L
-  }
+    store.writeBatch(
+      sigs.select(col("id").cast("long").as("id"),
+        col("sig").cast("long").as("sig")),
+      batchId)
 
   /** Remove documents by id (reference `Remove(id)`, `index.go:119-136`):
     * anti-join rewrite into a temp dir, then an atomic swap. */
-  def remove(ids: DataFrame): Unit = {
-    val swap = s"$path/.sigs.swap"
-    spark.read.parquet(sigPath)
-      .join(ids.select(col("id").cast("long").as("id")), Seq("id"), "left_anti")
-      .write.mode("overwrite").partitionBy("batch").parquet(swap)
-    Fs.swapInto(swap, sigPath, hconf)
-  }
+  def remove(ids: DataFrame): Unit =
+    store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
+      Seq("id"), "left_anti"))
 
-  def all(): DataFrame = spark.read.parquet(sigPath)
+  def all(): DataFrame = store.all()
 
   /** Top-k Hamming neighbours of `queries` (qid, sig) against the
     * stored forest (reference `Search`, `lsh.go:194-240` prefix

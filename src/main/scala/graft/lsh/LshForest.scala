@@ -73,9 +73,10 @@ object LshForest {
     import spark.implicits._
     val corpus = rotated(index, idCol, sigCol, tables)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var pending = rotated(queries, qidCol, sigCol, tables)
+    val pending0 = rotated(queries, qidCol, sigCol, tables)
       .select(col("rot"), col("k"), col("id").as("qid"), col("sig").as("qsig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pending = pending0
 
     var found: DataFrame = null
     var prefixLen = 64
@@ -95,13 +96,15 @@ object LshForest {
       // quota filter AND the next round's union — without a lineage cut
       // every round re-executes the whole expansion history (the CC-loop
       // lesson; unchecked this ran minutes instead of seconds)
-      val prevFound = found
       found =
         (if (found == null) cands else found.union(cands).distinct())
           .localCheckpoint()
-      // the new checkpoint is eager — the superseded accumulator's
-      // blocks are dead weight in the block manager from here on
-      if (prevFound != null) prevFound.unpersist(blocking = false)
+      // superseded checkpointed frames: Dataset.unpersist does NOT free
+      // localCheckpoint blocks (verified empirically — it only clears
+      // CacheManager entries); reclamation happens when the reference
+      // is dropped (the reassignments here) and the ContextCleaner GCs
+      // the underlying RDD. The persist()'d frames (corpus, the initial
+      // pending) ARE eagerly freed after the loop.
       if (prefixLen - step >= minPrefix) {
         // queries whose candidate quota is met leave the expansion
         val counts = found.groupBy(col("qid").as("done_qid"))
@@ -109,14 +112,12 @@ object LshForest {
         val next = pending
           .join(counts, pending("qid") === counts("done_qid"), "left_anti")
           .localCheckpoint()
-        pending.unpersist(blocking = false) // next is materialised
         // cheap emptiness probe bounds the loop (log-rounds, not data)
-        if (next.isEmpty) { next.unpersist(blocking = false); pending = null }
-        else pending = next
+        if (next.isEmpty) pending = null else pending = next
       }
       prefixLen -= step
     }
-    if (pending != null) pending.unpersist(blocking = false)
+    pending0.unpersist(blocking = false)
     corpus.unpersist()
 
     val w = Window.partitionBy("qid")

@@ -31,16 +31,17 @@ class IncrementalIndex(spark: SparkSession, path: String,
                        cfg: DedupConfig = DedupConfig()) {
   import graft.ckpt.Fs
 
-  // all filesystem metadata ops go through the Hadoop FS resolved from
-  // the index path (graft.ckpt.Fs), matching the namespace the parquet
-  // payloads are written to — the index works on HDFS/S3-compatible
-  // stores, not just the local filesystem
+  // signatures live in a shared partitioned-parquet batch store (also
+  // used by ForestIndex): per-batch idempotent puts, schema-pinned
+  // reads, swap-commit rewrites — all metadata through the Hadoop FS
+  // resolved from the index path, so the index works on HDFS/S3-
+  // compatible stores, not just the local filesystem
+  private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs")
   private val hconf = spark.sparkContext.hadoopConfiguration
 
-  private def sigPath = s"$path/sigs"
   private def statsPath = s"$path/stats"
 
-  def isEmpty: Boolean = !Fs.exists(sigPath, hconf)
+  def isEmpty: Boolean = store.isEmpty
 
   private def loadStats(): Option[CorpusStats] =
     if (!Fs.exists(statsPath, hconf)) None
@@ -75,20 +76,13 @@ class IncrementalIndex(spark: SparkSession, path: String,
 
   /** Append a batch to the index (reference `Index(v, id)`). Each put
     * lands in its own `batch=<id>` partition directory. */
-  def put(pages: DataFrame): Unit = putBatch(pages, nextBatchId())
+  def put(pages: DataFrame): Unit = putBatch(pages, store.nextBatchId())
 
   /** Idempotent per-batch insert: writing batch `id` twice (streaming
     * replay after a failure — foreachBatch is at-least-once) overwrites
     * the same partition directory instead of duplicating rows. */
   def putBatch(pages: DataFrame, batchId: Long): Unit =
-    signatures(pages).write.mode("overwrite")
-      .parquet(s"$sigPath/batch=$batchId")
-
-  private def nextBatchId(): Long = {
-    val ids = Fs.listNames(sigPath, hconf)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
-    if (ids.isEmpty) 0L else ids.max + 1L
-  }
+    store.writeBatch(signatures(pages), batchId)
 
   /** Remove documents by url (reference `Remove(id)`): anti-join
     * rewrite into a TEMP directory, then an atomic directory swap —
@@ -96,15 +90,10 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * mid-write crash cannot destroy the index (overwrite-in-place was
     * the round-1 hazard). On HDFS/object stores this maps to a rename
     * commit / Iceberg snapshot swap. */
-  def remove(urls: DataFrame): Unit = {
-    val swap = s"$path/.sigs.swap"
-    spark.read.parquet(sigPath)
-      .join(urls.select(col("url")), Seq("url"), "left_anti")
-      .write.mode("overwrite").partitionBy("batch").parquet(swap)
-    Fs.swapInto(swap, sigPath, hconf)
-  }
+  def remove(urls: DataFrame): Unit =
+    store.rewrite(_.join(urls.select(col("url")), Seq("url"), "left_anti"))
 
-  def all(): DataFrame = spark.read.parquet(sigPath)
+  def all(): DataFrame = store.all()
 
   /** Near-dup matches of `pages` against the stored index: band-key
     * equi-join + exact Jaccard verify (reference `Search` semantics,

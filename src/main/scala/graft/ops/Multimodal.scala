@@ -31,8 +31,16 @@ object Multimodal {
    * decoder in WITHOUT touching the Spark-side plumbing (schema,
    * partition batching, output contract). Contract (see DESIGN.md):
    *  - must be Serializable (ships inside the task closure);
-   *  - `open()` is called once per partition before any decode (codec
-   *    contexts, native handles), `close()` after the last row;
+   *  - `open()` is called once per partition and returns the instance
+   *    that decodes that partition — a STATEFUL decoder (codec
+   *    contexts, native handles) must return a FRESH instance here,
+   *    because a registered Scala `object` deserialises to the JVM-wide
+   *    singleton shared by every concurrent task in an executor; the
+   *    default returns `this`, which is correct only for stateless
+   *    decoders;
+   *  - `close()` runs on the per-partition instance via a task
+   *    completion listener — it fires on success, early termination
+   *    (limit/take) and task failure alike;
    *  - `decode` must be deterministic per (docId, bytes) — signatures
    *    and features feed deterministic fits downstream;
    *  - never throw on malformed payloads: return a zero/empty feature
@@ -41,7 +49,8 @@ object Multimodal {
    */
   trait Decoder extends Serializable {
     def name: String
-    def open(): Unit = ()
+    /** Per-partition instance factory; stateful decoders override. */
+    def open(): Decoder = this
     def decode(docId: Long, bytes: Array[Byte]): MediaFeatures
     def close(): Unit = ()
   }
@@ -98,19 +107,15 @@ object Multimodal {
     media.select(col(docIdCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        dec.open() // once per partition: codec contexts, native handles
-        var closed = false
-        new Iterator[MediaFeatures] {
-          def hasNext: Boolean = {
-            val h = batch.hasNext
-            if (!h && !closed) { closed = true; dec.close() }
-            h
-          }
-          def next(): MediaFeatures = {
-            val (id, bytes) = batch.next()
-            dec.decode(id, bytes)
-          }
-        }
+        // per-partition instance: concurrent tasks must not share codec
+        // state (a deserialised `object` decoder is the JVM singleton)
+        val d = dec.open()
+        // completion listener, not iterator-exhaustion: close() must
+        // also fire when the consumer stops early (limit/take) or the
+        // task fails — an exhaustion hook leaks native handles there
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => d.close()))
+        batch.map { case (id, bytes) => d.decode(id, bytes) }
       }
   }
 

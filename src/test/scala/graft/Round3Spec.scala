@@ -92,6 +92,27 @@ class Round3Spec extends AnyFunSuite with SparkSpec {
     assert(idx.all().select("url").as[String].collect().toSet === Set("u1", "u3"))
   }
 
+  test("batch store: removing every row leaves a readable, writable store") {
+    import spark.implicits._
+    def doc(p: String) = (1 to 60).map(i =>
+      p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+    val tmp = "file:" +
+      java.nio.file.Files.createTempDirectory("graft-idx-empty").toString
+    val idx = new IncrementalIndex(spark, tmp)
+    idx.put(Seq(("u1", doc("aa")), ("u2", doc("bb"))).toDF("url", "text"))
+    idx.remove(Seq("u1", "u2").toDF("url"))
+    // an emptied store has no parquet footers — reads must use the
+    // pinned schema manifest instead of failing schema inference
+    assert(idx.all().count() === 0)
+    idx.put(Seq(("u3", doc("cc"))).toDF("url", "text"))
+    assert(idx.all().select("url").as[String].collect().toSet === Set("u3"))
+    val f = new graft.lsh.ForestIndex(spark, "file:" +
+      java.nio.file.Files.createTempDirectory("graft-fidx-empty").toString)
+    f.put(Seq((1L, 2L), (3L, 4L)).toDF("id", "sig"))
+    f.remove(Seq(1L, 3L).toDF("id"))
+    assert(f.all().count() === 0)
+  }
+
   test("stage store and model manifests commit through Hadoop FS (file: URI)") {
     import spark.implicits._
     val tmp = "file:" +

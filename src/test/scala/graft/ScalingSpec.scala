@@ -35,24 +35,35 @@ class ScalingSpec extends AnyFunSuite {
 
     Bench.timeDedup(hi, parts(hi), sfDir, 2000) // JIT warmup
     Bench.canaryGbps() // canary JIT warmup
-    // quality baseline = best RUN-MEAN bandwidth across attempts (the
-    // in-run sampler; endpoint-only canaries miss mid-run collapses).
-    // Attempts ALTERNATE between levels and cleanliness is re-evaluated
-    // against the GROWING baseline each round, so a degraded first
-    // sample that trivially defined the baseline gets retried once a
-    // later attempt reveals the host's real bandwidth.
-    var bestMean = 0.0
+    // quality baseline = best RUN-MEAN bandwidth PER LEVEL (the in-run
+    // sampler; endpoint-only canaries miss mid-run collapses, and the
+    // in-run reading is depressed by the measured job's own memory
+    // traffic, so levels are only comparable to themselves). Attempts
+    // ALTERNATE between levels and cleanliness is re-evaluated against
+    // the GROWING baseline each round, so a degraded first sample that
+    // trivially defined the baseline gets retried once a later attempt
+    // reveals the level's real bandwidth.
     final case class S(n: Long, sec: Double, steal: Double, bw: Double)
     val samples = Map(hi -> scala.collection.mutable.ArrayBuffer.empty[S],
                       lo -> scala.collection.mutable.ArrayBuffer.empty[S])
+    val bestMean = scala.collection.mutable.Map(hi -> 0.0, lo -> 0.0)
     def attempt(cores: Int): Unit = {
       val (n, sec, steal, bwMean, _) =
         Bench.timeDedup(cores, parts(cores), sfDir, docs)
-      bestMean = math.max(bestMean, bwMean)
+      bestMean(cores) = math.max(bestMean(cores), bwMean)
       info(f"cores=$cores sec=$sec%.1f steal=$steal%.1f%% bwMean=$bwMean%.0f" +
-        f"/$bestMean%.0f GB/s")
+        f"/${bestMean(cores)}%.0f GB/s")
       samples(cores) += S(n, sec, steal, bwMean)
     }
+    // hybrid baseline: a level's own best run-mean, floored at 80% of
+    // the other level's — 2- and 8-thread runs depress the canary
+    // comparably (measured 64 vs 69 GB/s in one clean window), so the
+    // other level's reading bounds this one's from below and catches a
+    // level whose EVERY attempt ran degraded (its own baseline would
+    // otherwise bless it: a bwMean-17 sample was once accepted while
+    // the other level measured 56)
+    def baseline(cores: Int): Double =
+      math.max(bestMean(cores), 0.8 * bestMean(if (cores == hi) lo else hi))
     // 1.15, tighter than Bench's 1.3: the asserted ratio tolerates at
     // most ~±15% window asymmetry between the two levels — a sample at
     // 1.25 slowdown once passed a 1.3 gate while being ~45% inflated
@@ -60,7 +71,7 @@ class ScalingSpec extends AnyFunSuite {
     // in a window where a faithful pair measures 0.88-0.92
     def cleanMin(cores: Int): Option[S] =
       samples(cores).filter(s => s.steal <= 5.0 &&
-        (s.bw > 0 && bestMean / s.bw <= 1.15)).sortBy(_.sec).headOption
+        (s.bw > 0 && baseline(cores) / s.bw <= 1.15)).sortBy(_.sec).headOption
     var round = 0
     while (round < 4 && (cleanMin(hi).isEmpty || cleanMin(lo).isEmpty)) {
       if (cleanMin(hi).isEmpty) attempt(hi)
