@@ -88,10 +88,18 @@ object Bench {
     * 32-thread Spark phase is bound by while an 8-thread one is not:
     * exactly the asymmetry that corrupts an N-vs-4N scaling
     * measurement. Reps taken in a low-bandwidth window are retried. */
-  private lazy val canaryBufs = Array.fill(32)(new Array[Long](4 << 20))
+  private var canaryBufs = Array.empty[Array[Long]]
+  private def bufsFor(n: Int): Array[Array[Long]] = synchronized {
+    // grow on demand so a request above the initial pool is never
+    // silently capped (a capped pool measured bw4N with fewer threads
+    // than reported when SPARK_GRAFT_CPUS exceeded the pool size)
+    if (canaryBufs.length < n)
+      canaryBufs = canaryBufs ++ Array.fill(n - canaryBufs.length)(new Array[Long](4 << 20))
+    canaryBufs
+  }
   private[graft] def canaryGbps(nThreads: Int = 8): Double = {
     val t0 = System.nanoTime()
-    val threads = canaryBufs.take(nThreads).map { buf =>
+    val threads = bufsFor(nThreads).take(nThreads).map { buf =>
       val t = new Thread(() => {
         var s = 0L
         var pass = 0
@@ -110,12 +118,19 @@ object Bench {
   }
 
   /** Times one full dedup run. Returns (docs, sec, stealPct, bwMean,
-    * bwMax): bandwidth is sampled by an in-run daemon every ~6 s —
-    * endpoint-only canaries missed mid-run bandwidth collapses (a
-    * 4-minute degraded 8-core run once recorded clean endpoints while a
-    * 2-core run finished 3.5× faster); the RUN-MEAN is the quality
-    * signal the retry gates use. Sampling costs ~2% of one level's
-    * cores and is uniform across levels, so ratios are unaffected. */
+    * bwMax): bandwidth is sampled by an in-run daemon — endpoint-only
+    * canaries missed mid-run bandwidth collapses (a 4-minute degraded
+    * 8-core run once recorded clean endpoints while a 2-core run
+    * finished 3.5× faster); the RUN-MEAN is the quality signal the
+    * retry gates use. The 8-thread probe keeps one absolute scale at
+    * every level (the retry gates compare readings across levels and
+    * runs), but its CPU cost relative to the measured job grows as the
+    * level's core count shrinks, which would bias sec at the small
+    * level upward — so the sampling INTERVAL stretches with 8/cores
+    * (6 s at ≥8 cores, 24 s at 2), equalising the sampler's core-share
+    * across levels at ~d/6 where d ≈ 0.04-0.1 s per probe (<2%).
+    * Residual bias after equalisation is uniform across levels and
+    * cancels in every ratio the gates assert on. */
   private[graft] def timeDedup(cores: Int, partitions: Int, sfDir: String,
                         synthetic: Int): (Long, Double, Double, Double, Double) = {
     val spark = session(cores, partitions)
@@ -124,10 +139,11 @@ object Bench {
       val n = input.count() // materialise input outside the timed window
       val bwSamples = new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
       @volatile var sampling = true
+      val intervalMs = 6000L * math.max(1, 8 / math.max(1, cores))
       val sampler = new Thread(() => {
         while (sampling) {
           bwSamples.add(canaryGbps())
-          try Thread.sleep(6000) catch { case _: InterruptedException => () }
+          try Thread.sleep(intervalMs) catch { case _: InterruptedException => () }
         }
       })
       sampler.setDaemon(true)
@@ -259,8 +275,29 @@ object Bench {
     // sample at 34 GB/s / +35% wall accepted as slowdown 1.00 while
     // the other levels measured 61). Each level's baseline is its own
     // best run-mean, floored at floorFrac × the best mean ANY level
-    // has seen, with floorFrac set from the measured depression.
+    // has seen THIS RUN *or across runs* (bwRef below): a purely
+    // within-run floor self-blessed a run whose every level sat in the
+    // same depressed window (recorded an 8-core leg slower than its
+    // 2-core leg, flagged clean, eff_small 0.189 vs 0.945 measured
+    // clean hours later — round-3 verdict item #1).
     var globalBestMeanBw = 0.0
+    // ---- absolute cross-run bandwidth reference (sidecar file) ----
+    // Best-ever in-run canary mean this host has recorded, persisted
+    // across runs so a uniformly-depressed session cannot lower its own
+    // bar. Seeded at 55 GB/s: the idle 8-thread canary's clean range on
+    // this host is ~60-100 GB/s and the *in-run* mean (depressed by the
+    // measured job's traffic) has been observed at ~45-70 in clean
+    // windows vs 11-35 in degraded ones. Capped at 70 so one freak
+    // reading can never permanently raise the bar past reachable-clean.
+    val bwRefSeed = 55.0
+    val bwRefCap = 70.0
+    val bwRefPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BW_REF", "bench-bw-ref.txt"))
+    val bwRef: Double = (try {
+      new String(java.nio.file.Files.readAllBytes(bwRefPath), "UTF-8")
+        .trim.toDouble
+    } catch { case _: Throwable => bwRefSeed }).max(bwRefSeed).min(bwRefCap)
+    def crossRunBest: Double = math.max(globalBestMeanBw, bwRef)
     final class Level(val cores: Int, val targetClean: Int,
                       val maxAttempts: Int, val floorFrac: Double) {
       val samples =
@@ -268,13 +305,16 @@ object Bench {
       var attempts = 0
       var bestMeanBw = 0.0
       private def baseline: Double =
-        math.max(bestMeanBw, floorFrac * globalBestMeanBw)
+        math.max(bestMeanBw, floorFrac * crossRunBest)
       def clean: Seq[(Long, Double, Double, Double)] = samples.toSeq.filter(s =>
         s._3 <= maxSteal && (s._4 > 0 && baseline / s._4 <= maxSlow))
       // run while under the attempt cap and short of clean samples; past
-      // the budget only a level with NO clean sample keeps running
+      // the budget a level keeps running only while it has no clean
+      // sample at all (budget replenishment — a zero-clean level is
+      // worthless to the scaling story)
       def wantsRun: Boolean = attempts < maxAttempts &&
         clean.size < targetClean && (budgetLeft || clean.isEmpty)
+      def pickSec: Double = samples.minBy(_._2)._2
       def attempt(sfDir: String, synthetic: Int): Unit = {
         // a crashed attempt (e.g. task-memory exhaustion under a hostile
         // GC/bandwidth window) must not kill the bench — prior good
@@ -308,10 +348,17 @@ object Bench {
     // single inflated t_S overstates the small-pair efficiency (two
     // recorded artifacts read >1.0 from exactly that) — the min of two
     // samples converges to the stable floor.
-    val lvl4N = new Level(cpus4N, reps, reps + 3, floorFrac = 0.60)
-    val lvlN = new Level(cpusN, reps, reps + 3, floorFrac = 0.75)
+    // floorFracs re-derived against the ABSOLUTE reference (ref 55):
+    // a clean window's in-run mean is ~61 at S (2-core job barely
+    // depresses the probe), ~52-55 at N (-10-15%), ~40-46 at 4N
+    // (-25-35%); the fracs put each level's clean bar comfortably below
+    // its clean range while flagging the observed degraded readings
+    // (r3: S 31 → slowdown 1.60, N 20 → 2.20, 4N 24 → 1.60 — all
+    // retried where the old within-run floor blessed all three).
+    val lvl4N = new Level(cpus4N, reps, reps + 3, floorFrac = 0.70)
+    val lvlN = new Level(cpusN, reps, reps + 3, floorFrac = 0.80)
     val lvlS =
-      if (smallPair) Seq(new Level(cpusS, 2, reps + 2, floorFrac = 0.85))
+      if (smallPair) Seq(new Level(cpusS, 2, reps + 2, floorFrac = 0.90))
       else Seq.empty
     val levels: Seq[Level] = Seq(lvl4N, lvlN) ++ lvlS
     var ran = true
@@ -321,6 +368,38 @@ object Bench {
         if (l.wantsRun) { l.attempt(sfDir, synthetic); ran = true }
       }
     }
+    // ---- monotonicity guard (round-3 verdict item #1b) ----
+    // More cores measuring a SLOWER wall on identical input is
+    // physically impossible in a faithful pair — it means at least one
+    // leg ran in a degraded window the bandwidth gates failed to catch
+    // (r3 recorded t₈ = 725.8 s > t₂ = 549.7 s, both flagged clean).
+    // Retry both legs of any inverted adjacent pair (which leg is bad
+    // is ambiguous; min-of-all selection means extra samples can only
+    // help) up to 3 extra rounds; if the inversion survives, record it
+    // loudly in the artifact rather than bless it.
+    val ordered: Seq[Level] = lvlS ++ Seq(lvlN, lvl4N) // ascending cores
+    def invertedPairs: Seq[(Level, Level)] = ordered.sliding(2).collect {
+      case Seq(a, b) if a.samples.nonEmpty && b.samples.nonEmpty &&
+        b.pickSec >= a.pickSec => (a, b)
+    }.toSeq
+    var inversionRetries = 0
+    while (invertedPairs.nonEmpty && inversionRetries < 3) {
+      inversionRetries += 1
+      val suspects = invertedPairs.flatMap(p => Seq(p._1, p._2)).distinct
+      suspects.foreach { l =>
+        System.err.println(s"[bench] LEVEL INVERSION (more cores, slower " +
+          s"wall) — retry round $inversionRetries at cores=${l.cores}")
+        l.attempt(sfDir, synthetic)
+      }
+    }
+    val levelInversion = invertedPairs.nonEmpty
+    // persist the learned reference (max-merge, capped): a later run in
+    // a depressed window then gates against the best this host has ever
+    // demonstrated, not against its own degraded readings
+    val bwRefOut = math.min(bwRefCap, math.max(bwRef, globalBestMeanBw))
+    if (bwRefOut > bwRef) try {
+      java.nio.file.Files.write(bwRefPath, f"$bwRefOut%.1f%n".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     val (docsN, secN, stealN, slowN, attN, cleanN) = lvlN.pick
     val (docs4N, sec4N, steal4N, slow4N, att4N, clean4N) = lvl4N.pick
     val thrN = docsN / secN
@@ -364,6 +443,10 @@ object Bench {
       s""""slowdown_4n":${"%.2f".format(slow4N)},"attempts_4n":$att4N,""" +
       s""""clean_4n":$clean4N,""" +
       s""""host_bw_scale_n_to_4n":${"%.2f".format(hostBwScale)},""" +
+      s""""bw_ref":${"%.1f".format(bwRef)},""" +
+      s""""bw_ref_out":${"%.1f".format(bwRefOut)},""" +
+      s""""level_inversion":$levelInversion,""" +
+      s""""inversion_retries":$inversionRetries,""" +
       s""""scaling_efficiency":${"%.3f".format(eff)}}}""")
   }
 }

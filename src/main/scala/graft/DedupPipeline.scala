@@ -144,8 +144,15 @@ object DedupPipeline {
       coalesce(col("doc_id"), xxhash64(col("url"))))
     var round = 0
     while (round <= cfg.idAuditRounds && cfg.idAuditRounds > 0) {
+      // distinctness proxy: a second hash under a seed DISJOINT from the
+      // rehash round range [1, idAuditRounds]. With seed 1 (= round 1's
+      // rehash salt) a round-1-remapped doc's doc_id EQUALS its
+      // verification hash by construction, making collisions among
+      // remapped docs structurally invisible to later audit rounds —
+      // the disjoint seed restores the ~2^-64 independence argument.
+      val auditSeed = lit(-1)
       val bad = cur.groupBy("doc_id")
-        .agg(countDistinct(xxhash64(col("url"), lit(1))).as("u"))
+        .agg(countDistinct(xxhash64(col("url"), auditSeed)).as("u"))
         .filter(col("u") > 1).select("doc_id")
       val nBad = bad.count()
       if (nBad == 0) return cur

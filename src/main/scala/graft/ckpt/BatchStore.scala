@@ -16,11 +16,39 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
  * parquet footers left to infer a schema from — without the manifest,
  * `all()` after a remove-everything would throw instead of returning
  * an empty frame.
+ *
+ * Mutations are SINGLE-WRITER, enforced by a lease file
+ * (`<root>.lock`, claimed with an exclusive create): `nextBatchId` is
+ * list-and-max, so two unguarded concurrent writers would claim the
+ * same id and the second overwrite silently clobbers the first. A
+ * second writer now fails loudly instead. A lease whose file is older
+ * than `leaseTtlMs` is presumed crashed and broken. Opening a store
+ * first completes any swap commit a crashed writer left pending
+ * ([[Fs.recoverSwap]]).
  */
-final class BatchStore(spark: SparkSession, root: String) {
+final class BatchStore(spark: SparkSession, root: String,
+                       leaseTtlMs: Long = 60L * 60 * 1000) {
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def schemaPath = s"$root.schema.json"
   private def swapPath = s"$root.swap"
+  private def lockPath = s"$root.lock"
+
+  Fs.recoverSwap(swapPath, root, hconf)
+
+  /** Run `f` holding the store's single-writer lease (loud failure if
+    * another writer holds it; stale leases broken after the TTL). */
+  def withLease[T](f: => T): T = {
+    Fs.modifiedMs(lockPath, hconf).foreach { ts =>
+      if (System.currentTimeMillis() - ts > leaseTtlMs)
+        Fs.deleteIfExists(lockPath, hconf) // break a crashed writer's lease
+    }
+    if (!Fs.createExclusive(lockPath, System.currentTimeMillis().toString, hconf))
+      throw new java.io.IOException(
+        s"BatchStore at $root: another writer holds the lease ($lockPath) — " +
+        s"concurrent mutation is single-writer by contract; a crashed " +
+        s"holder's lease expires after ${leaseTtlMs / 1000} s")
+    try f finally Fs.deleteIfExists(lockPath, hconf)
+  }
 
   def isEmpty: Boolean = !Fs.exists(root, hconf)
 
@@ -30,9 +58,20 @@ final class BatchStore(spark: SparkSession, root: String) {
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 
+  /** Allocate the next batch id and insert under ONE lease claim —
+    * closes the id-allocation race two independent put() callers had. */
+  def append(df: DataFrame): Long = withLease {
+    val id = nextBatchId()
+    writeBatchUnguarded(df, id)
+    id
+  }
+
   /** Idempotent per-batch insert: writing batch `id` twice overwrites
     * the same partition directory instead of duplicating rows. */
-  def writeBatch(df: DataFrame, batchId: Long): Unit = {
+  def writeBatch(df: DataFrame, batchId: Long): Unit =
+    withLease(writeBatchUnguarded(df, batchId))
+
+  private def writeBatchUnguarded(df: DataFrame, batchId: Long): Unit = {
     df.write.mode("overwrite").parquet(s"$root/batch=$batchId")
     if (!Fs.exists(schemaPath, hconf)) {
       // full read-back schema = data columns + the dir-derived batch col
@@ -53,7 +92,7 @@ final class BatchStore(spark: SparkSession, root: String) {
     * directory swap commits — the read source is never the write
     * target, so cache eviction or a mid-write crash cannot destroy the
     * store. The `batch` partition column must survive `f`. */
-  def rewrite(f: DataFrame => DataFrame): Unit = {
+  def rewrite(f: DataFrame => DataFrame): Unit = withLease {
     f(all()).write.mode("overwrite").partitionBy("batch").parquet(swapPath)
     Fs.swapInto(swapPath, root, hconf)
   }

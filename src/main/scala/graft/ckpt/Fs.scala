@@ -61,13 +61,74 @@ object Fs {
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 
-  /** Directory-swap commit: remove `dst` and rename `src` over it. */
+  /** Directory-swap commit with a crash-safe aside protocol: `dst` is
+    * renamed aside to `<dst>.old` (never deleted before the new data is
+    * in place), `src` renamed in, then the aside copy dropped. A crash
+    * between the aside and the commit rename leaves the new data in
+    * `src` and the old in `<dst>.old` — [[recoverSwap]] completes the
+    * commit on the next open. (The previous delete-then-rename protocol
+    * had a window where `dst` was GONE while the only copy sat in the
+    * swap dir: an `isEmpty` probe in that window read true and a
+    * subsequent put silently started a fresh store over the orphan.) */
   def swapInto(src: String, dst: String, conf: Configuration): Unit = {
     val fs = fileSystem(dst, conf)
     val s = new HPath(src); val d = new HPath(dst)
-    if (fs.exists(d)) fs.delete(d, true)
-    if (!fs.rename(s, d))
+    val old = new HPath(dst + ".old")
+    if (fs.exists(old)) fs.delete(old, true) // stale aside from a prior crash
+    if (fs.exists(d) && !fs.rename(d, old))
+      throw new java.io.IOException(s"swap aside rename failed: $d -> $old")
+    if (!fs.rename(s, d)) {
+      // restore the aside copy so the store keeps serving its old state
+      if (fs.exists(old)) fs.rename(old, d)
       throw new java.io.IOException(s"swap rename failed: $s -> $d")
+    }
+    if (fs.exists(old)) { fs.delete(old, true); () }
+  }
+
+  /** Complete a [[swapInto]] interrupted mid-commit — called by stores
+    * on open, BEFORE serving any read. If `dst` is missing but the
+    * pending swap dir exists, the commit is finished (rename failures
+    * are tolerated when a concurrent recoverer won the race); if only
+    * the aside copy survives, it is restored. A leftover aside dir next
+    * to an intact `dst` is an already-committed swap's garbage and is
+    * dropped. A leftover swap dir next to an intact `dst` is left alone:
+    * it may be a concurrent writer's in-progress rewrite (the writer's
+    * own overwrite mode reclaims abandoned ones). */
+  def recoverSwap(src: String, dst: String, conf: Configuration): Unit = {
+    val fs = fileSystem(dst, conf)
+    val s = new HPath(src); val d = new HPath(dst)
+    val old = new HPath(dst + ".old")
+    if (!fs.exists(d)) {
+      if (fs.exists(s)) {
+        if (!fs.rename(s, d) && !fs.exists(d))
+          throw new java.io.IOException(s"swap recovery rename failed: $s -> $d")
+      } else if (fs.exists(old)) {
+        if (!fs.rename(old, d) && !fs.exists(d))
+          throw new java.io.IOException(s"swap recovery restore failed: $old -> $d")
+      }
+    }
+    if (fs.exists(d) && fs.exists(old)) { fs.delete(old, true); () }
+  }
+
+  /** Atomically create `path` (failing if it already exists) — the
+    * claim primitive for single-writer leases. Returns true iff this
+    * call created the file. */
+  def createExclusive(path: String, content: String, conf: Configuration): Boolean = {
+    val fs = fileSystem(path, conf)
+    val p = new HPath(path)
+    fs.mkdirs(p.getParent)
+    try {
+      val out = fs.create(p, false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  /** Modification time of `path` in epoch millis, if it exists. */
+  def modifiedMs(path: String, conf: Configuration): Option[Long] = {
+    val fs = fileSystem(path, conf)
+    val p = new HPath(path)
+    if (fs.exists(p)) Some(fs.getFileStatus(p).getModificationTime) else None
   }
 
   /** Child names of a directory (empty if the dir does not exist). */

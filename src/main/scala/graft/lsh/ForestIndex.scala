@@ -32,8 +32,15 @@ class ForestIndex(spark: SparkSession, path: String,
 
   def isEmpty: Boolean = store.isEmpty
 
-  /** Append (id, sig) rows as a new batch (reference `Index(v, id)`). */
-  def put(sigs: DataFrame): Unit = putBatch(sigs, store.nextBatchId())
+  /** Append (id, sig) rows as a new batch (reference `Index(v, id)`);
+    * the batch id is allocated and written under one writer-lease
+    * claim. */
+  def put(sigs: DataFrame): Unit = {
+    store.append(
+      sigs.select(col("id").cast("long").as("id"),
+        col("sig").cast("long").as("sig")))
+    ()
+  }
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(sigs: DataFrame, batchId: Long): Unit =
@@ -50,12 +57,17 @@ class ForestIndex(spark: SparkSession, path: String,
 
   def all(): DataFrame = store.all()
 
-  /** Top-k Hamming neighbours of `queries` (qid, sig) against the
-    * stored forest (reference `Search`, `lsh.go:194-240` prefix
-    * expansion + `index.go:236-251` ranking).
+  /** Top-k Hamming neighbours against the stored forest (reference
+    * `Search`, `lsh.go:194-240` prefix expansion + `index.go:236-251`
+    * ranking). `queries` carries an id column named `id` (or `qid` —
+    * both accepted, mirroring put()'s (id, sig) row contract) and a
+    * 64-bit signature column `sig`.
     * Returns (query_id, neighbor_id, hamming, rank). */
-  def search(queries: DataFrame, k: Int): DataFrame =
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    val idCol = if (queries.columns.contains("id")) "id" else "qid"
     LshForest.searchTopK(all(), "id",
-      queries.select(col("id").cast("long").as("id"), col("sig").cast("long").as("sig")),
+      queries.select(col(idCol).cast("long").as("id"),
+        col("sig").cast("long").as("sig")),
       "id", "sig", k, tables, step, minPrefix)
+  }
 }

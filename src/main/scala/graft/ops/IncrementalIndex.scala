@@ -75,8 +75,9 @@ class IncrementalIndex(spark: SparkSession, path: String,
   }
 
   /** Append a batch to the index (reference `Index(v, id)`). Each put
-    * lands in its own `batch=<id>` partition directory. */
-  def put(pages: DataFrame): Unit = putBatch(pages, store.nextBatchId())
+    * lands in its own `batch=<id>` partition directory; the id is
+    * allocated and written under one writer-lease claim. */
+  def put(pages: DataFrame): Unit = { store.append(signatures(pages)); () }
 
   /** Idempotent per-batch insert: writing batch `id` twice (streaming
     * replay after a failure — foreachBatch is at-least-once) overwrites

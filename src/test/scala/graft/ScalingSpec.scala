@@ -62,8 +62,13 @@ class ScalingSpec extends AnyFunSuite {
     // level whose EVERY attempt ran degraded (its own baseline would
     // otherwise bless it: a bwMean-17 sample was once accepted while
     // the other level measured 56)
+    // ... and floored at 80% of the ABSOLUTE cross-run reference (55
+    // GB/s in-run-mean equivalent, see Bench): a session whose BOTH
+    // levels sit in the same depressed window would otherwise bless
+    // itself — the exact defect round 3's driver artifact recorded
     def baseline(cores: Int): Double =
-      math.max(bestMean(cores), 0.8 * bestMean(if (cores == hi) lo else hi))
+      math.max(bestMean(cores),
+        0.8 * math.max(55.0, bestMean(if (cores == hi) lo else hi)))
     // 1.15, tighter than Bench's 1.3: the asserted ratio tolerates at
     // most ~±15% window asymmetry between the two levels — a sample at
     // 1.25 slowdown once passed a 1.3 gate while being ~45% inflated
