@@ -59,6 +59,15 @@ case class DedupConfig(
   // detect-and-rehash passes over a slim (doc_id, url) projection, then
   // a loud failure if collisions persist. 0 disables the audit.
   idAuditRounds: Int = 3,
+  // serving-index layout: stored band rows are partitioned by
+  // pb = band·bandBuckets + (key mod bandBuckets), so an incremental
+  // search prunes the stored scan to the partitions its query batch
+  // actually touches (the reference's sub-linear bucket lookup,
+  // lsh.go:87-108, as PARTITION PRUNING instead of an in-memory map).
+  // The pb domain (bands·bandBuckets) bounds the driver-collected
+  // pruning set; 32·64 = 2048 partitions keeps per-partition files
+  // large at web scale while a 100-doc query batch touches ≲ 5%.
+  bandBuckets: Int = 64,
   stopWords: Seq[String] = Nil) {
   require(minhashPerms == bands * rows,
     s"signature length $minhashPerms must equal bands*rows (${bands * rows}); " +

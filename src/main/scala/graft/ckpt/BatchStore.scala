@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
  * ([[Fs.recoverSwap]]).
  */
 final class BatchStore(spark: SparkSession, root: String,
-                       leaseTtlMs: Long = 60L * 60 * 1000) {
+                       leaseTtlMs: Long = 60L * 60 * 1000,
+                       subPartitionCols: Seq[String] = Nil) {
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def schemaPath = s"$root.schema.json"
   private def swapPath = s"$root.swap"
@@ -59,10 +60,15 @@ final class BatchStore(spark: SparkSession, root: String,
   }
 
   /** Allocate the next batch id and insert under ONE lease claim —
-    * closes the id-allocation race two independent put() callers had. */
-  def append(df: DataFrame): Long = withLease {
+    * closes the id-allocation race two independent put() callers had.
+    * `also` runs with the allocated id while the lease is still held,
+    * for companion stores that must key on the same batch id (it may
+    * claim OTHER stores' leases, never this one's — re-claiming the
+    * same lease fails loudly by design). */
+  def append(df: DataFrame, also: Long => Unit = _ => ()): Long = withLease {
     val id = nextBatchId()
     writeBatchUnguarded(df, id)
+    also(id)
     id
   }
 
@@ -72,7 +78,11 @@ final class BatchStore(spark: SparkSession, root: String,
     withLease(writeBatchUnguarded(df, batchId))
 
   private def writeBatchUnguarded(df: DataFrame, batchId: Long): Unit = {
-    df.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+    // subPartitionCols land as partition DIRECTORIES under the batch
+    // dir (batch=i/<col>=v/...), so reads filtered on them prune at
+    // the scan — the serving-index layout (see IncrementalIndex)
+    df.write.mode("overwrite").partitionBy(subPartitionCols: _*)
+      .parquet(s"$root/batch=$batchId")
     if (!Fs.exists(schemaPath, hconf)) {
       // full read-back schema = data columns + the dir-derived batch col
       val full = df.schema.add("batch", LongType, nullable = true)
@@ -93,7 +103,8 @@ final class BatchStore(spark: SparkSession, root: String,
     * target, so cache eviction or a mid-write crash cannot destroy the
     * store. The `batch` partition column must survive `f`. */
   def rewrite(f: DataFrame => DataFrame): Unit = withLease {
-    f(all()).write.mode("overwrite").partitionBy("batch").parquet(swapPath)
+    f(all()).write.mode("overwrite")
+      .partitionBy(("batch" +: subPartitionCols): _*).parquet(swapPath)
     Fs.swapInto(swapPath, root, hconf)
   }
 }

@@ -1,16 +1,15 @@
 package graft.lsh
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
  * Mutable LSH-Forest index — the reference `Indexer` mutation surface
  * (Index/Search/Remove, `/root/reference/index.go:47-51`) for the
  * Forest variant (`/root/reference/lsh.go:244-265`), which round 2 left
- * batch-search-only. Backed by the same storage pattern as
- * [[graft.ops.IncrementalIndex]]: a per-batch partitioned Parquet
- * signature table, idempotent per-batch puts, and an atomic
- * directory-swap remove through the Hadoop FS API.
+ * batch-search-only. Backed by the shared [[graft.ckpt.BatchStore]]:
+ * per-batch idempotent puts, single-writer lease, atomic
+ * directory-swap removes through the Hadoop FS API.
  *
  * The row contract is signature-level — (id: long, sig: long 64-bit
  * SimHash) — because the forest indexes signatures; hashing text into
@@ -18,36 +17,54 @@ import org.apache.spark.sql.functions._
  * exactly as the reference hashes before `ClassicLSH.Put`
  * (`lsh.go:75-80`).
  *
- * Scale shape: a put touches only the new batch; a search reads the
- * stored table once per expansion round via [[LshForest.searchTopK]]'s
- * log-round prefix equi-joins; remove rewrites into a temp dir and
- * swaps (the read source is never the write target).
+ * Storage layout (the serving shape): rows are stored PRE-ROTATED —
+ * one row per (rotation, doc) with the rotated key — partitioned by
+ * `tb = rot·2^prefixBits + top-prefixBits(k)`. Every prefix the search
+ * expansion joins on is ≥ minPrefix ≥ prefixBits bits long, so a
+ * corpus row can only match a query whose rotated key shares its top
+ * prefixBits bits — i.e. whose `tb` the query batch itself contains.
+ * A search therefore prunes the stored scan to the query batch's `tb`
+ * partitions (PartitionFilters at the scan), the reference's
+ * sub-linear radix-tree descent (`lsh.go:194-240`) re-expressed as
+ * partition pruning; the pruning set is bounded by the fixed tb
+ * domain (tables·2^prefixBits), never by the corpus.
  */
 class ForestIndex(spark: SparkSession, path: String,
-                  tables: Int = 4, step: Int = 8, minPrefix: Int = 16) {
+                  tables: Int = 4, step: Int = 8, minPrefix: Int = 16,
+                  prefixBits: Int = 6) {
+  require(prefixBits >= 1 && prefixBits <= minPrefix,
+    s"prefixBits must be in [1, minPrefix=$minPrefix], got $prefixBits " +
+      "(the partition prefix must be a prefix of every join prefix, or " +
+      "pruning would drop true candidates)")
 
-  // shared batch store (same machinery as IncrementalIndex): per-batch
-  // idempotent puts, schema-pinned reads, swap-commit rewrites
-  private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs")
+  private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs",
+    subPartitionCols = Seq("tb"))
+
+  private def tbCol(rot: Column, k: Column): Column =
+    (rot.cast("int") * (1 << prefixBits) +
+      shiftrightunsigned(k, 64 - prefixBits).cast("int")).cast("int")
+
+  private def normalize(sigs: DataFrame): DataFrame = {
+    val idCol = if (sigs.columns.contains("id")) "id" else "qid"
+    sigs.select(col(idCol).cast("long").as("id"),
+      col("sig").cast("long").as("sig"))
+  }
+
+  private def rotRows(sigs: DataFrame): DataFrame =
+    LshForest.rotated(normalize(sigs), "id", "sig", tables)
+      .select(tbCol(col("rot"), col("k")).as("tb"),
+        col("rot"), col("k"), col("id"), col("sig"))
 
   def isEmpty: Boolean = store.isEmpty
 
   /** Append (id, sig) rows as a new batch (reference `Index(v, id)`);
     * the batch id is allocated and written under one writer-lease
     * claim. */
-  def put(sigs: DataFrame): Unit = {
-    store.append(
-      sigs.select(col("id").cast("long").as("id"),
-        col("sig").cast("long").as("sig")))
-    ()
-  }
+  def put(sigs: DataFrame): Unit = { store.append(rotRows(sigs)); () }
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(sigs: DataFrame, batchId: Long): Unit =
-    store.writeBatch(
-      sigs.select(col("id").cast("long").as("id"),
-        col("sig").cast("long").as("sig")),
-      batchId)
+    store.writeBatch(rotRows(sigs), batchId)
 
   /** Remove documents by id (reference `Remove(id)`, `index.go:119-136`):
     * anti-join rewrite into a temp dir, then an atomic swap. */
@@ -55,19 +72,34 @@ class ForestIndex(spark: SparkSession, path: String,
     store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
       Seq("id"), "left_anti"))
 
-  def all(): DataFrame = store.all()
+  /** The stored (id, sig, batch) rows — one per document (the rot=0
+    * storage row carries the unrotated signature). */
+  def all(): DataFrame =
+    store.all().filter(col("rot") === 0).select("id", "sig", "batch")
 
   /** Top-k Hamming neighbours against the stored forest (reference
     * `Search`, `lsh.go:194-240` prefix expansion + `index.go:236-251`
     * ranking). `queries` carries an id column named `id` (or `qid` —
     * both accepted, mirroring put()'s (id, sig) row contract) and a
-    * 64-bit signature column `sig`.
+    * 64-bit signature column `sig`. The stored side reads only the
+    * `tb` partitions the query batch touches.
     * Returns (query_id, neighbor_id, hamming, rank). */
-  def search(queries: DataFrame, k: Int): DataFrame = {
-    val idCol = if (queries.columns.contains("id")) "id" else "qid"
-    LshForest.searchTopK(all(), "id",
-      queries.select(col(idCol).cast("long").as("id"),
-        col("sig").cast("long").as("sig")),
-      "id", "sig", k, tables, step, minPrefix)
+  def search(queries: DataFrame, k: Int): DataFrame =
+    LshForest.searchTopKRotated(prunedStored(queries),
+      normalize(queries), "id", "sig", k, tables, step, minPrefix)
+
+  /** The stored rotated rows pruned to the `tb` partitions `queries`
+    * touches — the frame [[search]] scans (package-visible so specs can
+    * assert the PartitionFilters; the search result itself is
+    * checkpoint-cut and no longer shows the file scan). */
+  private[graft] def prunedStored(queries: DataFrame): DataFrame = {
+    val qtb = LshForest.rotated(normalize(queries), "id", "sig", tables)
+      .select(tbCol(col("rot"), col("k")).as("tb"))
+    // pruning set: bounded by the tb DOMAIN (tables·2^prefixBits),
+    // a constructor constant — never by query or index size
+    val tbs = qtb.distinct().collect().map(_.getInt(0))
+    store.all()
+      .filter(col("tb").isin(tbs.map(Int.box).toSeq: _*))
+      .select(col("rot"), col("k"), col("id"), col("sig"))
   }
 }

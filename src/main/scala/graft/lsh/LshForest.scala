@@ -29,9 +29,12 @@ import org.apache.spark.sql.functions._
  */
 object LshForest {
 
-  /** Per-doc (rot, prefix-key) rows for every rotation — the "trees". */
-  private def rotated(df: DataFrame, idCol: String, sigCol: String,
-                      tables: Int): DataFrame = {
+  /** Per-doc (rot, prefix-key) rows for every rotation — the "trees".
+    * private[lsh]: [[ForestIndex]] persists these rows as its storage
+    * layout (partitioned by rotation + key prefix) so searches prune
+    * the stored scan. */
+  private[lsh] def rotated(df: DataFrame, idCol: String, sigCol: String,
+                           tables: Int): DataFrame = {
     val rotKeys = array((0 until tables).map { t =>
       val rot = t * (64 / tables)
       val key =
@@ -61,7 +64,19 @@ object LshForest {
   def searchTopK(index: DataFrame, idCol: String, queries: DataFrame,
                  qidCol: String, sigCol: String, k: Int,
                  tables: Int = 4, step: Int = 8,
-                 minPrefix: Int = 16): DataFrame = {
+                 minPrefix: Int = 16): DataFrame =
+    searchTopKRotated(rotated(index, idCol, sigCol, tables), queries,
+      qidCol, sigCol, k, tables, step, minPrefix)
+
+  /** [[searchTopK]] over an ALREADY-ROTATED corpus
+    * (rot, k, id, sig rows, as produced by [[rotated]]) — the entry
+    * point for [[ForestIndex]], whose storage layout is these rows
+    * pre-exploded and partition-pruned before the call. */
+  private[lsh] def searchTopKRotated(corpusRot: DataFrame,
+                 queries: DataFrame,
+                 qidCol: String, sigCol: String, k: Int,
+                 tables: Int, step: Int,
+                 minPrefix: Int): DataFrame = {
     // minPrefix ≤ 64 guarantees ≥1 expansion round (found is never null
     // at the ranking step); the rest are plain domain checks
     require(minPrefix >= 1 && minPrefix <= 64,
@@ -69,9 +84,9 @@ object LshForest {
     require(step >= 1, s"step must be >= 1, got $step")
     require(k >= 1 && tables >= 1 && 64 % tables == 0,
       s"need k>=1, tables>=1 dividing 64; got k=$k tables=$tables")
-    val spark = index.sparkSession
+    val spark = corpusRot.sparkSession
     import spark.implicits._
-    val corpus = rotated(index, idCol, sigCol, tables)
+    val corpus = corpusRot.select(col("rot"), col("k"), col("id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pending0 = rotated(queries, qidCol, sigCol, tables)
       .select(col("rot"), col("k"), col("id").as("qid"), col("sig").as("qsig"))

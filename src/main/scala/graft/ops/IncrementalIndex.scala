@@ -23,9 +23,15 @@ import graft.DedupPipeline.CorpusStats
  * batches' df-conditioned drop lists diverged).
  *
  * Scale shape: an insert touches only the new batch (signatures are
- * per-row); a search shuffles the new batch's band keys against the
- * stored band table — the stored side is read with partition pruning
- * on `band`.
+ * per-row); a search prunes the stored side to the band-bucket
+ * partitions its query batch actually touches, then equi-joins — the
+ * reference's sub-linear per-band bucket lookup (union of bucket
+ * members, `/root/reference/lsh.go:87-108`) re-expressed as partition
+ * pruning over a `pb = band·B + (key mod B)` directory layout instead
+ * of an in-memory hash map. The pruning set is collected on the driver
+ * but its DOMAIN is the fixed pb range (bands·bandBuckets ≤ a few
+ * thousand), not the corpus, so the collect is constant-bounded at any
+ * index size.
  */
 class IncrementalIndex(spark: SparkSession, path: String,
                        cfg: DedupConfig = DedupConfig()) {
@@ -37,7 +43,21 @@ class IncrementalIndex(spark: SparkSession, path: String,
   // resolved from the index path, so the index works on HDFS/S3-
   // compatible stores, not just the local filesystem
   private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs")
+  // band-exploded serving rows (pb, key, doc_id), partitioned by pb
+  // under each batch dir — the searchable layout. Kept NEXT TO the
+  // signature store (not instead of it): verification needs shingles,
+  // and a remove rewrites both.
+  private val bandStore = new graft.ckpt.BatchStore(spark, s"$path/bands",
+    subPartitionCols = Seq("pb"))
   private val hconf = spark.sparkContext.hadoopConfiguration
+
+  /** Partition-bucket id of a band row: band·B + (key mod B). Encodes
+    * the band exactly (bucket < B), so (pb, key) equality ⇔
+    * (band, key) equality. */
+  private def pbCol(band: org.apache.spark.sql.Column,
+                    key: org.apache.spark.sql.Column) =
+    (band.cast("int") * cfg.bandBuckets +
+      pmod(key, lit(cfg.bandBuckets.toLong)).cast("int")).cast("int")
 
   private def statsPath = s"$path/stats"
 
@@ -76,14 +96,38 @@ class IncrementalIndex(spark: SparkSession, path: String,
 
   /** Append a batch to the index (reference `Index(v, id)`). Each put
     * lands in its own `batch=<id>` partition directory; the id is
-    * allocated and written under one writer-lease claim. */
-  def put(pages: DataFrame): Unit = { store.append(signatures(pages)); () }
+    * allocated and both halves written under one writer-lease claim on
+    * the signature store. */
+  def put(pages: DataFrame): Unit = {
+    val sigs = signatures(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.append(sigs, id => bandStore.writeBatch(bandRows(sigs), id))
+      ()
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Band rows of signature rows, in the serving layout. */
+  private def bandRows(sigs: DataFrame): DataFrame = {
+    import graft.lsh.Lsh
+    Lsh.explodeBands(sigs, "doc_id",
+        Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows), lit(0L))
+      .select(pbCol(col("band"), col("key")).as("pb"), col("key"),
+        col("doc_id"))
+  }
 
   /** Idempotent per-batch insert: writing batch `id` twice (streaming
     * replay after a failure — foreachBatch is at-least-once) overwrites
-    * the same partition directory instead of duplicating rows. */
-  def putBatch(pages: DataFrame, batchId: Long): Unit =
-    store.writeBatch(signatures(pages), batchId)
+    * the same partition directories instead of duplicating rows. Both
+    * halves (signatures + band rows) key on the same batch id. */
+  def putBatch(pages: DataFrame, batchId: Long): Unit = {
+    val sigs = signatures(pages)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.writeBatch(sigs, batchId)
+      bandStore.writeBatch(bandRows(sigs), batchId)
+    } finally { sigs.unpersist(); () }
+  }
 
   /** Remove documents by url (reference `Remove(id)`): anti-join
     * rewrite into a TEMP directory, then an atomic directory swap —
@@ -91,16 +135,35 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * mid-write crash cannot destroy the index (overwrite-in-place was
     * the round-1 hazard). On HDFS/object stores this maps to a rename
     * commit / Iceberg snapshot swap. */
-  def remove(urls: DataFrame): Unit =
-    store.rewrite(_.join(urls.select(col("url")), Seq("url"), "left_anti"))
+  def remove(urls: DataFrame): Unit = {
+    val u = urls.select(col("url"))
+    if (!bandStore.isEmpty) {
+      // band rows first, FROM the still-intact signature store: a crash
+      // between the two rewrites leaves the removed docs bandless —
+      // unreachable by search, i.e. already effectively removed — and
+      // re-running the remove is idempotent. (The reverse order would
+      // leave dangling band rows that resurrect removed docs as
+      // candidates.)
+      val removedIds = store.all().join(u, Seq("url"), "left_semi")
+        .select(col("doc_id"))
+      bandStore.rewrite(_.join(removedIds, Seq("doc_id"), "left_anti"))
+    }
+    store.rewrite(_.join(u, Seq("url"), "left_anti"))
+  }
 
   def all(): DataFrame = store.all()
 
-  /** Near-dup matches of `pages` against the stored index: band-key
-    * equi-join + exact Jaccard verify (reference `Search` semantics,
-    * `index.go:215-255`, without top-k truncation). Queries are signed
-    * with the stored corpus stats so band keys line up with the index.
-    * Returns (query_url, match_url, jaccard). */
+  /** Near-dup matches of `pages` against the stored index: pruned
+    * band-key equi-join + exact Jaccard verify (reference `Search`
+    * semantics, `index.go:215-255`, without top-k truncation). Queries
+    * are signed with the stored corpus stats so band keys line up with
+    * the index. The stored side reads ONLY the `pb` partitions present
+    * in the query batch (PartitionFilters in the scan — sub-linear in
+    * the index size, like the reference's per-band bucket lookup); the
+    * pruning set's size is bounded by the fixed pb domain, never by
+    * the corpus. Falls back to a full band join on an index written
+    * before the band layout existed. Returns
+    * (query_url, match_url, jaccard). */
   def search(pages: DataFrame): DataFrame = {
     import graft.lsh.Lsh
     val q = signatures(pages)
@@ -108,9 +171,27 @@ class IncrementalIndex(spark: SparkSession, path: String,
     def bands(df: DataFrame) = Lsh.explodeBands(df, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),
       element_at(col("minhash"), 1))
-    val cands = bands(q).select(col("doc_id").as("qid"), col("band"), col("key"))
-      .join(bands(stored).select(col("doc_id").as("sid"), col("band"), col("key")),
-        Seq("band", "key"))
+    val candsRaw =
+      if (bandStore.isEmpty) {
+        // legacy layout: explode the whole stored table and shuffle
+        bands(q).select(col("doc_id").as("qid"), col("band"), col("key"))
+          .join(bands(stored)
+            .select(col("doc_id").as("sid"), col("band"), col("key")),
+            Seq("band", "key"))
+      } else {
+        val qb = bands(q)
+          .select(col("doc_id").as("qid"),
+            pbCol(col("band"), col("key")).as("pb"), col("key"))
+        // the pruning set: distinct pb values in the query batch —
+        // collect is bounded by the pb DOMAIN (bands·bandBuckets),
+        // a config constant, regardless of query or index size
+        val pbs = qb.select("pb").distinct().collect().map(_.getInt(0))
+        bandStore.all()
+          .filter(col("pb").isin(pbs.map(Int.box).toSeq: _*))
+          .select(col("doc_id").as("sid"), col("pb"), col("key"))
+          .join(qb, Seq("pb", "key"))
+      }
+    val cands = candsRaw
       .filter(col("qid") =!= col("sid"))
       .select("qid", "sid").distinct()
     val qs = q.select(col("doc_id").as("qid"), col("url").as("query_url"),

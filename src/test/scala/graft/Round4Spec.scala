@@ -115,4 +115,71 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect()
     assert(hits.toSeq === Seq((10L, 1L)))
   }
+
+  // ---- band-bucketed serving layout: pruned search (VERDICT r3 #2) ----
+
+  /** Even/odd id pairs differ by one low bit — Hamming-1 planted
+    * partners (id ^ 1 is each doc's true nearest neighbour). */
+  private def plantedSigs(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val base = new scala.util.Random(i / 2).nextLong() & ~1L
+      (i.toLong, if (i % 2 == 0) base else base ^ 1L)
+    }.toDF("id", "sig")
+  }
+
+  test("ForestIndex.search prunes the stored scan to the query's tb " +
+    "partitions (PartitionFilters) and matches the unpruned batch path " +
+    "exactly") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/forest"
+    val idx = new graft.lsh.ForestIndex(spark, dir)
+    val rows = plantedSigs(400)
+    idx.put(rows.filter($"id" < 200))
+    idx.put(rows.filter($"id" >= 200))
+    val queries = rows.filter($"id" % 20 === 0)
+      .select($"id", $"sig")
+    val res = idx.search(queries, 3)
+    // 1. the stored side is partition-pruned: the band-store scan must
+    // carry a non-trivial PartitionFilters entry on tb (asserted on the
+    // exact frame search() scans — the search result itself is
+    // checkpoint-cut and no longer shows the file scan)
+    val plan = idx.prunedStored(queries)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"no tb partition pruning in stored scan:\n${plan.take(6000)}")
+    // 2. pruning drops no true candidates: exact equality with the
+    // unpruned batch-search path over the same (id, sig) rows
+    val pruned = res.select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val full = graft.lsh.LshForest.searchTopK(
+        rows, "id", queries.select($"id", $"sig"), "id", "sig", 3)
+      .select("query_id", "neighbor_id", "hamming", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(pruned === full,
+      s"pruned != full: missing=${full -- pruned}, extra=${pruned -- full}")
+    // planted Hamming-1 partner is rank 1 for every query
+    val top1 = pruned.filter(_._4 == 1).map(t => t._1 -> t._2).toMap
+    assert(queries.select("id").as[Long].collect()
+      .forall(q => top1.get(q).contains(q ^ 1L)))
+  }
+
+  test("IncrementalIndex.search reads only the query's pb partitions " +
+    "(PartitionFilters on the band store)") {
+    import spark.implicits._
+    val tmp = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, tmp)
+    def doc(p: String) = (1 to 60).map(i =>
+      p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+    idx.put(Seq(("u1", doc("aa")), ("u2", doc("bb"))).toDF("url", "text"))
+    idx.put(Seq(("u3", doc("cc"))).toDF("url", "text"))
+    val near = doc("aa").replace(" aah ", " changed ")
+    val res = idx.search(Seq(("q1", near)).toDF("url", "text"))
+    val plan = res.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"no pb partition pruning in stored band scan:\n${plan.take(6000)}")
+    val m = res.select("query_url", "match_url")
+      .as[(String, String)].collect().toSet
+    assert(m === Set(("q1", "u1")))
+  }
 }
