@@ -329,17 +329,20 @@ object DedupPipeline {
   }
 
   /** Apply fitted stats: MinHash128 over the (df-conditioned) shingle
-    * set; SimHash64 over the tf-idf-weighted hashed term vector. */
+    * set; SimHash64 over the tf-idf-weighted hashed term vector.
+    * `keepTf` retains the tf column — the incremental index stores it
+    * so a stats [[graft.ops.IncrementalIndex.refit]] can re-signature
+    * every batch without the raw text. */
   def applySignatures(tfd: DataFrame, stats: CorpusStats,
-                      cfg: DedupConfig): DataFrame = {
+                      cfg: DedupConfig, keepTf: Boolean = false): DataFrame = {
     val bandShingles =
       if (stats.hotShingles.isEmpty) col("shingles")
       else HashFunctions.filterNotIn(col("shingles"), stats.hotShingles)
-    tfd
+    val signed = tfd
       .withColumn("minhash", HashFunctions.minhash128(bandShingles))
       .withColumn("simhash",
         HashFunctions.simhash64idf(col("tf"), stats.idfTerms, stats.idfVals))
-      .drop("tf")
+    if (keepTf) signed else signed.drop("tf")
   }
 
   /** Stage 2b — signatures over representatives: MinHash128 over the

@@ -124,6 +124,15 @@ object Fs {
     } catch { case _: java.io.IOException => false }
   }
 
+  /** Rename `src` to `dst`, failing loudly. The atomic-publish
+    * primitive for directories: write under a temp name, then rename
+    * into place — readers never see a half-written directory. */
+  def rename(src: String, dst: String, conf: Configuration): Unit = {
+    val fs = fileSystem(dst, conf)
+    if (!fs.rename(new HPath(src), new HPath(dst)))
+      throw new java.io.IOException(s"rename failed: $src -> $dst")
+  }
+
   /** Modification time of `path` in epoch millis, if it exists. */
   def modifiedMs(path: String, conf: Configuration): Option[Long] = {
     val fs = fileSystem(path, conf)

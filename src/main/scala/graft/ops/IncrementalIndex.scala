@@ -60,46 +60,63 @@ class IncrementalIndex(spark: SparkSession, path: String,
       pmod(key, lit(cfg.bandBuckets.toLong)).cast("int")).cast("int")
 
   private def statsPath = s"$path/stats"
+  // pending-refit marker: newly fitted stats land here FIRST; they are
+  // swapped into statsPath only after every batch has been
+  // re-signatured, so a crash mid-refit is always recoverable from the
+  // marker (see ensureRefitComplete)
+  private def statsNextPath = s"$path/stats.refit"
 
   def isEmpty: Boolean = store.isEmpty
 
-  private def loadStats(): Option[CorpusStats] =
-    if (!Fs.exists(statsPath, hconf)) None
+  private def loadStatsFrom(p: String): Option[CorpusStats] =
+    if (!Fs.exists(p, hconf)) None
     else {
-      val r = spark.read.parquet(statsPath).head()
+      val r = spark.read.parquet(p).head()
       Some(CorpusStats(r.getLong(0),
         r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray,
         r.getSeq[Long](3).toArray))
     }
 
-  private def saveStats(st: CorpusStats): Unit = {
+  private def loadStats(): Option[CorpusStats] = loadStatsFrom(statsPath)
+
+  private def saveStatsTo(p: String, st: CorpusStats): Unit = {
     import spark.implicits._
     Seq((st.n, st.idfTerms.toSeq, st.idfVals.toSeq, st.hotShingles.toSeq))
       .toDF("n", "idf_terms", "idf_vals", "hot_shingles")
-      .write.mode("overwrite").parquet(statsPath)
+      .write.mode("overwrite").parquet(p)
   }
 
   /** Signature a batch of pages (url, text) with the PERSISTED corpus
-    * stats (fitted and saved on the first call). */
-  private def signatures(pages: DataFrame): DataFrame = {
-    val ext = DedupPipeline.extract(pages, cfg)
+    * stats (fitted and saved on the first call). The hashed-tf column
+    * is kept in the stored rows so [[refit]] can re-signature every
+    * batch without the raw text. `audit` runs the WITHIN-batch identity
+    * audit ([[DedupPipeline.resolveIdCollisions]]) — on for the put
+    * paths (stored identities must be unambiguous), off for search
+    * queries (their ids never enter the store; an aliased query id only
+    * merges that query's own result rows). */
+  private def signatures(pages: DataFrame, audit: Boolean): DataFrame = {
+    val ext0 = DedupPipeline.extract(pages, cfg)
+    val ext = if (audit) DedupPipeline.resolveIdCollisions(ext0, cfg) else ext0
     val tfd = DedupPipeline.withTf(ext, cfg)
     val stats = loadStats().getOrElse {
       val st = DedupPipeline.fitCorpusStats(tfd, cfg)
-      saveStats(st)
+      saveStatsTo(statsPath, st)
       st
     }
-    DedupPipeline.applySignatures(tfd, stats, cfg)
+    DedupPipeline.applySignatures(tfd, stats, cfg, keepTf = true)
       .select(col("url"), col("doc_id"), col("minhash"), col("simhash"),
-        col("shingles"))
+        col("shingles"), col("tf"))
   }
 
   /** Append a batch to the index (reference `Index(v, id)`). Each put
     * lands in its own `batch=<id>` partition directory; the id is
     * allocated and both halves written under one writer-lease claim on
-    * the signature store. */
+    * the signature store. Ids are audited against the stored index
+    * first: a cross-batch doc_id collision would silently alias two
+    * documents in every later search. */
   def put(pages: DataFrame): Unit = {
-    val sigs = signatures(pages)
+    ensureRefitComplete()
+    val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       store.append(sigs, id => bandStore.writeBatch(bandRows(sigs), id))
@@ -107,13 +124,17 @@ class IncrementalIndex(spark: SparkSession, path: String,
     } finally { sigs.unpersist(); () }
   }
 
-  /** Band rows of signature rows, in the serving layout. */
-  private def bandRows(sigs: DataFrame): DataFrame = {
+  /** Band rows of signature rows, in the serving layout. `keep` carries
+    * extra columns through (the refit rewrite keeps `batch`). */
+  private def bandRows(sigs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     import graft.lsh.Lsh
-    Lsh.explodeBands(sigs, "doc_id",
-        Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows), lit(0L))
-      .select(pbCol(col("band"), col("key")).as("pb"), col("key"),
-        col("doc_id"))
+    sigs.select((col("doc_id") +:
+        explode(Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows)).as("bk") +:
+        keep.map(col)): _*)
+      .select((col("bk.band").as("band") +: col("bk.key").as("key") +:
+        col("doc_id") +: keep.map(col)): _*)
+      .select((pbCol(col("band"), col("key")).as("pb") +: col("key") +:
+        col("doc_id") +: keep.map(col)): _*)
   }
 
   /** Idempotent per-batch insert: writing batch `id` twice (streaming
@@ -121,12 +142,116 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * the same partition directories instead of duplicating rows. Both
     * halves (signatures + band rows) key on the same batch id. */
   def putBatch(pages: DataFrame, batchId: Long): Unit = {
-    val sigs = signatures(pages)
+    ensureRefitComplete()
+    val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       store.writeBatch(sigs, batchId)
       bandStore.writeBatch(bandRows(sigs), batchId)
     } finally { sigs.unpersist(); () }
+  }
+
+  /**
+   * Cross-batch identity audit (the batch pipeline's
+   * [[DedupPipeline.resolveIdCollisions]] contract extended to the
+   * incremental path): a new batch's doc_ids are checked against the
+   * STORED index, and any id claimed by a stored document with a
+   * DIFFERENT url is deterministically re-idd with the same
+   * round-salted rehash the batch audit uses, iterating until clean —
+   * unresolved collisions fail loudly. Re-putting the SAME url is not a
+   * collision (same identity). Scale shape: the audit join ships slim
+   * (doc_id, url-hash) projections — 16 B/doc, the second-seed hash
+   * (seed −1, disjoint from the rehash round range) stands in for url
+   * equality, and the stored side is an equi-join on doc_id (planner
+   * picks broadcast/shuffle from stats); zero collisions — the
+   * overwhelmingly common case — is one join + count per put.
+   */
+  private def resolveCrossBatchIds(sigs: DataFrame): DataFrame = {
+    if (store.isEmpty || cfg.idAuditRounds <= 0) return sigs
+    val storedIds = store.all()
+      .select(col("doc_id"), xxhash64(col("url"), lit(-1)).as("__suh"))
+    var cur = sigs
+    var round = 0
+    while (round <= cfg.idAuditRounds) {
+      val bad = cur
+        .select(col("doc_id"), xxhash64(col("url"), lit(-1)).as("__quh"))
+        .join(storedIds, Seq("doc_id"))
+        .filter(col("__quh") =!= col("__suh"))
+        .select("doc_id").distinct()
+      val nBad = bad.count()
+      if (nBad == 0) return cur
+      if (round == cfg.idAuditRounds)
+        throw new IllegalStateException(
+          s"cross-batch doc_id collisions unresolved after " +
+            s"${cfg.idAuditRounds} rehash rounds ($nBad colliding ids) — " +
+            "refusing to index with ambiguous identities")
+      round += 1
+      val badIds = (if (nBad <= cfg.broadcastIdLimit) bad.hint("broadcast")
+                    else bad).withColumnRenamed("doc_id", "__bad_id")
+      cur = cur.join(badIds, cur("doc_id") === col("__bad_id"), "left")
+        .withColumn("doc_id",
+          when(col("__bad_id").isNotNull, xxhash64(col("url"), lit(round)))
+            .otherwise(col("doc_id")))
+        .drop("__bad_id")
+    }
+    cur
+  }
+
+  /**
+   * Atomic stats refit + re-signature (reference's online accretion
+   * surface, `randomprojection.go:253-270`, as an operational
+   * compaction): re-fits [[CorpusStats]] over every stored batch and
+   * re-signatures them all, so a corpus that drifted since the
+   * first-put fit (new boilerplate flooding the bands, stale idf)
+   * regains df-conditioned signatures without losing batch idempotence
+   * — batch directories and doc_ids are preserved.
+   *
+   * Crash protocol: the new stats land in a `stats.refit` marker
+   * FIRST; both stores are then rewritten through their swap commits;
+   * the marker is swapped into `stats` LAST. A crash anywhere mid-refit
+   * leaves the marker in place, and the next index operation replays
+   * the rewrite from it (idempotent — re-signaturing with the same
+   * stats is deterministic), so stats and signatures can never be
+   * served inconsistently.
+   */
+  def refit(): Unit = {
+    require(!isEmpty, "refit() on an empty index")
+    ensureRefitComplete()
+    val all = store.all()
+    require(all.columns.contains("tf"),
+      "this index predates the refit-capable layout (no stored tf " +
+        "column) — rebuild it with put() to enable refit")
+    val newStats = DedupPipeline.fitCorpusStats(all, cfg)
+    // the marker publish is itself atomic (temp dir + rename): a crash
+    // DURING the parquet write must not leave a half-written marker
+    // that ensureRefitComplete would then try to replay from
+    val tmp = s"$statsNextPath.tmp"
+    Fs.deleteIfExists(tmp, hconf)
+    saveStatsTo(tmp, newStats)
+    Fs.deleteIfExists(statsNextPath, hconf)
+    Fs.rename(tmp, statsNextPath, hconf)
+    completeRefit(newStats)
+  }
+
+  /** Replay/complete a pending refit: re-signature every batch with the
+    * marker stats, regenerate the band layout, then commit the stats
+    * swap. Idempotent — safe to re-run after a crash at any point. */
+  private def completeRefit(st: CorpusStats): Unit = {
+    store.rewrite(df =>
+      DedupPipeline.applySignatures(df, st, cfg, keepTf = true))
+    bandStore.rewrite(_ => bandRows(store.all(), keep = Seq("batch")))
+    Fs.swapInto(statsNextPath, statsPath, hconf)
+  }
+
+  /** Called on every public operation: finish a refit a crashed writer
+    * left pending (cheap no-op — one existence probe — when none is). */
+  private def ensureRefitComplete(): Unit = {
+    // a crash DURING the final stats swap: complete the swap itself
+    Fs.recoverSwap(statsNextPath, statsPath, hconf)
+    // a crash BEFORE the swap: marker still present — replay the
+    // rewrites from it (the stores may hold old, new, or mixed
+    // signatures; the replay is idempotent either way)
+    loadStatsFrom(statsNextPath).foreach(completeRefit)
   }
 
   /** Remove documents by url (reference `Remove(id)`): anti-join
@@ -136,6 +261,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * the round-1 hazard). On HDFS/object stores this maps to a rename
     * commit / Iceberg snapshot swap. */
   def remove(urls: DataFrame): Unit = {
+    ensureRefitComplete()
     val u = urls.select(col("url"))
     if (!bandStore.isEmpty) {
       // band rows first, FROM the still-intact signature store: a crash
@@ -165,8 +291,12 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * before the band layout existed. Returns
     * (query_url, match_url, jaccard). */
   def search(pages: DataFrame): DataFrame = {
+    // a crashed refit must never serve mixed state: stats in `stats`
+    // with signatures already rewritten for `stats.refit` (or half the
+    // batches re-signatured) would miss true duplicates silently
+    ensureRefitComplete()
     import graft.lsh.Lsh
-    val q = signatures(pages)
+    val q = signatures(pages, audit = false)
     val stored = all()
     def bands(df: DataFrame) = Lsh.explodeBands(df, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),

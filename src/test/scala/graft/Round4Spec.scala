@@ -164,6 +164,142 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
       .forall(q => top1.get(q).contains(q ^ 1L)))
   }
 
+  // ---- refit + cross-batch identity audit (VERDICT r3 #3/#4) ----
+
+  /** Letter-only unique word: "p" + digits-of-i mapped to letters (the
+    * tokenizer is `[\p{L}]+`, so digits would vanish). */
+  private def w(prefix: String, i: Int): String =
+    prefix + i.toString.map(d => ('a' + (d - '0')).toChar)
+
+  /** Drifted-corpus fixture. Batch 0 (the stats-fit batch): 12 docs of
+    * unique content, so the fitted hot-shingle list is EMPTY. Batch 1
+    * (drift): 24 docs carrying boilerplate tails `P++T_A` / `P++T_B`
+    * (12 each, so the tails' internal shingles reach df=13 > minDf=8 —
+    * hot under a REFIT but invisible to the stale stats), plus the
+    * planted near-dup pair: A = C++P++T_A (the query), B = C++P++T_B
+    * (indexed). Shared shingles 60 (C + the C→P boundary), differing 6
+    * per side (the tail internals) → raw Jaccard 60/72 ≈ 0.833 ≥ τ=0.8,
+    * so exact verify passes; with 2 bands × 64 rows the stale banding
+    * (tails included) collides with prob ≈ 2·0.833⁶⁴ ≈ 10⁻⁵ — a
+    * deterministic miss for this fixture — while post-refit both band
+    * sets are EXACTLY the 60 shared shingles → guaranteed collision. */
+  private val refitCfg = DedupConfig(bands = 2, rows = 64)
+
+  private def driftFixture(dir: String): (graft.ops.IncrementalIndex,
+      org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val C = (1 to 60).map(w("cc", _))
+    val P = (1 to 4).map(w("pp", _))
+    val tA = (1 to 6).map(w("ta", _))
+    val tB = (1 to 6).map(w("tb", _))
+    val batch0 = (1 to 12).map(i =>
+      (s"base$i", (1 to 30).map(j => w(s"x${i}y", j)).mkString(" ")))
+    val drift = (1 to 12).flatMap { i =>
+      Seq((s"da$i", ((1 to 20).map(j => w(s"da${i}z", j)) ++ P ++ tA).mkString(" ")),
+          (s"db$i", ((1 to 20).map(j => w(s"db${i}z", j)) ++ P ++ tB).mkString(" ")))
+    }
+    val docB = ("uB", (C ++ P ++ tB).mkString(" "))
+    val idx = new graft.ops.IncrementalIndex(spark, dir, refitCfg)
+    idx.put(batch0.toDF("url", "text"))
+    idx.put((drift :+ docB).toDF("url", "text"))
+    (idx, Seq(("uA", (C ++ P ++ tA).mkString(" "))).toDF("url", "text"))
+  }
+
+  test("IncrementalIndex.refit: a true duplicate missed under stale " +
+    "(pre-drift) corpus stats is found after refit") {
+    import spark.implicits._
+    val (idx, qA) = driftFixture(s"${freshDir()}/idx")
+    assert(idx.search(qA).count() === 0,
+      "stale stats must miss the boilerplate-tailed pair (fixture sanity)")
+    idx.refit()
+    val hits = idx.search(qA)
+      .select("query_url", "match_url").as[(String, String)].collect().toSet
+    assert(hits === Set(("uA", "uB")),
+      "refit must recondition the bands so the pair is found")
+    // verify fired on the RAW shingle sets (hot excluded from banding,
+    // never from verification): jaccard ≈ 60/72
+    val j = idx.search(qA).select("jaccard").as[Double].head()
+    assert(j > 0.8 && j < 0.9)
+  }
+
+  test("IncrementalIndex.refit on an undrifted corpus: search results " +
+    "and pruned layout are byte-identical before and after") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    def doc(p: String) = (1 to 60).map(i =>
+      p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+    idx.put(Seq(("u1", doc("aa")), ("u2", doc("bb")), ("u3", doc("cc")))
+      .toDF("url", "text"))
+    val q = Seq(("q1", doc("aa").replace(" aah ", " changed ")))
+      .toDF("url", "text")
+    val before = idx.search(q)
+      .select("query_url", "match_url", "jaccard")
+      .as[(String, String, Double)].collect().toSet
+    idx.refit()
+    val after = idx.search(q)
+      .select("query_url", "match_url", "jaccard")
+      .as[(String, String, Double)].collect().toSet
+    assert(before === after)
+    assert(before.map(t => (t._1, t._2)) === Set(("q1", "u1")))
+    // the regenerated band layout still serves pruned scans
+    val plan = idx.search(q).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb#\\d+ IN".r.findFirstIn(plan).isDefined,
+      s"band layout lost its pb pruning across refit:\n${plan.take(4000)}")
+  }
+
+  test("a refit crash AFTER the marker publish is replayed by the next " +
+    "public operation (search serves the refitted state, marker gone)") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val (idx, qA) = driftFixture(dir)
+    // simulate refit() crashing right after its atomic marker publish:
+    // new stats fitted and landed in stats.refit, NO store rewritten
+    val st = DedupPipeline.fitCorpusStats(idx.all(), refitCfg)
+    assert(st.hotShingles.nonEmpty, "drift tails must be hot (sanity)")
+    Seq((st.n, st.idfTerms.toSeq, st.idfVals.toSeq, st.hotShingles.toSeq))
+      .toDF("n", "idf_terms", "idf_vals", "hot_shingles")
+      .write.parquet(s"$dir/stats.refit")
+    // the next public op must complete the refit BEFORE serving
+    val hits = idx.search(qA)
+      .select("query_url", "match_url").as[(String, String)].collect().toSet
+    assert(hits === Set(("uA", "uB")),
+      "pending refit must be replayed before the search runs")
+    assert(!Fs.exists(s"$dir/stats.refit", hconf), "marker consumed")
+    assert(Fs.exists(s"$dir/stats", hconf))
+  }
+
+  test("cross-batch doc_id collision: a planted collision against a " +
+    "STORED doc is re-id'd on put, never aliased in search") {
+    import spark.implicits._
+    def doc(p: String) = (1 to 60).map(i =>
+      p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    idx.put(Seq(("u1", doc("aa"), 7L)).toDF("url", "text", "doc_id"))
+    // u2 arrives in a LATER batch claiming u1's id; u3 is clean
+    idx.put(Seq(("u2", doc("bb"), 7L), ("u3", doc("cc"), 8L))
+      .toDF("url", "text", "doc_id"))
+    val ids = idx.all().select("url", "doc_id")
+      .as[(String, Long)].collect().toMap
+    assert(ids.values.toSet.size === 3, "all stored ids distinct")
+    assert(ids("u1") === 7L, "the incumbent keeps its id")
+    assert(ids("u3") === 8L, "non-colliding ids unchanged")
+    val expected = Seq("u2").toDF("url")
+      .select(xxhash64(col("url"), lit(1))).head().getLong(0)
+    assert(ids("u2") === expected, "round-salted remap, deterministic")
+    // no aliasing: a near-dup of u2's text matches u2, not u1
+    val near = doc("bb").replace(" bbh ", " changed ")
+    val m = idx.search(Seq(("q", near)).toDF("url", "text"))
+      .select("match_url").as[String].collect().toSet
+    assert(m === Set("u2"))
+    // re-putting the SAME url with the same id is identity, not collision
+    idx.put(Seq(("u1", doc("aa"), 7L)).toDF("url", "text", "doc_id"))
+    val ids2 = idx.all().select("url", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(ids2.filter(_._1 == "u1").map(_._2) === Set(7L))
+  }
+
   test("IncrementalIndex.search reads only the query's pb partitions " +
     "(PartitionFilters on the band store)") {
     import spark.implicits._
