@@ -57,7 +57,17 @@ final case class LdaConfig(
   // sort): fits become bit-identical ACROSS sessions with different
   // parallelism, not just within one — required by the golden-oracle
   // query. 0 = cluster parallelism (within-session determinism only).
-  partitions: Int = 0)
+  partitions: Int = 0,
+  // Term-axis granularity of the sufficient-stats partials: each
+  // partition emits (slice, sliceTerms×k values) rows for TOUCHED
+  // slices only, instead of one dense vocab×k array, so the first
+  // merge round shuffles Σ_p touched(p)·slice bytes rather than
+  // P·W·K — the win at production shape, where a partition's docs
+  // touch a fraction of a 2^18+ vocabulary. Results are bit-identical
+  // for ANY value (omitting an all-zero slice is an IEEE-754 no-op
+  // and the per-element merge order is fixed by the pid tree alone);
+  // <= 0 means one dense slice (the pre-slicing layout).
+  sliceTerms: Int = 512)
 
 /** Fitted model: unnormalised topic-word statistics (vocab-bounded).
   * `itersRun` records how many training passes actually executed
@@ -251,13 +261,18 @@ object Lda {
       val bcPhi = spark.sparkContext.broadcast(nPhi)
       val bcZ = spark.sparkContext.broadcast(nZ)
       val rtT = rhoThetaT
-      // one pass: update thetas, emit per-partition stats partials;
-      // doc-state rows and ONE stats row ride the same cached output
+      val sliceT = if (cfg.sliceTerms > 0) math.min(cfg.sliceTerms, W) else W
+      val nSlices = (W + sliceT - 1) / sliceT
+      // one pass: update thetas, emit per-partition stats partials —
+      // one (slice, values) row per TOUCHED vocab slice plus one n̂Z
+      // row (slice −1), never a dense W×K array; doc-state rows and
+      // the stats rows ride the same cached output
       val next = state.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val phi = bcPhi.value
         val z = bcZ.value
         val phiHat = new Array[Double](W * K)
+        val touched = new Array[Boolean](nSlices)
         val zHat = new Array[Double](K)
         val gamma = new Array[Double](K)
         val out = it.map { d =>
@@ -272,6 +287,7 @@ object Lda {
           while (i < d.terms.length) {
             val w = d.terms(i)
             val cnt = d.cnts(i)
+            touched(w / sliceT) = true
             var gs = 0.0
             var k = 0
             while (k < K) { // Eqn 5
@@ -292,9 +308,18 @@ object Lda {
             }
             i += 1
           }
-          (-1, d, null: Array[Double], null: Array[Double])
+          (-1, d, 0, null: Array[Double])
         }
-        out ++ Iterator((pid, null: DocState, phiHat, zHat))
+        // the slice rows are built via a lazy flatMap so phiHat is read
+        // only AFTER `out` has consumed every document of the partition
+        out ++ Iterator.single(()).flatMap { _ =>
+          val slices = Iterator.range(0, nSlices).filter(touched).map { s =>
+            val lo = s * sliceT * K
+            val hi = math.min(W, (s + 1) * sliceT) * K
+            (pid, null: DocState, s, java.util.Arrays.copyOfRange(phiHat, lo, hi))
+          }
+          slices ++ Iterator((pid, null: DocState, -1, zHat))
+        }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // deterministic merge: float addition is not associative, so the
@@ -303,15 +328,19 @@ object Lda {
       // id order) — the summation order is a function of the partition
       // count alone, never of task arrival (an arrival-order reduce()
       // made two identical fits diverge bit-by-bit, caught by LdaSpec's
-      // determinism gate). The tree rounds run EXECUTOR-SIDE as
-      // log2(P) shuffles of vocab-bounded rows; the driver receives
-      // exactly ONE (W×K, K) pair — driver memory is O(W×K), not
+      // determinism gate). Slices merge independently under the SAME
+      // pid tree — key (slice, node) — so each element's summation
+      // order is unchanged by the slicing, and an absent (untouched,
+      // all-zero) slice contributes exactly what adding its zeros
+      // would: nothing. The tree rounds run EXECUTOR-SIDE as log2(P)
+      // shuffles of touched slice rows; the driver receives one root
+      // row per touched slice — driver memory is ≤ O(W×K), never
       // P×(W×K) (the previous collect shipped every partition's full
       // partial to the driver: ~400 GB/iteration at W=2^18, K=100,
       // P=2000).
       val (phiHat, zHat) = treeMergePartials(
         next.filter(_._2 == null).map(r => (r._1, r._3, r._4)).rdd,
-        next.rdd.getNumPartitions, W * K, K)
+        next.rdd.getNumPartitions, W, K, sliceT)
       val newState = next.filter(_._2 != null).map(_._2).localCheckpoint()
       next.unpersist()
       state = newState
@@ -345,37 +374,45 @@ object Lda {
   }
 
   /** Fixed-topology pairwise merge of per-partition sufficient-stats
-    * partials: round r merges tree nodes 2i and 2i+1 (summed in id
-    * order into a fresh accumulator), so the float summation order
-    * depends only on the partition count. Runs as executor-side
-    * shuffles; exactly one root row is collected. */
+    * slice rows `(pid, slice, values)` (slice −1 = the n̂Z row): round
+    * r merges tree nodes 2i and 2i+1 of each slice independently —
+    * key (slice, pid >> 1), pair summed in pid order into a fresh
+    * accumulator — so the float summation order of every element
+    * depends only on the partition count, never on task arrival or
+    * the slice granularity. Runs as executor-side shuffles of touched
+    * slices only; one root row per touched slice is collected and
+    * assembled into the dense (W×K, K) pair (untouched slices stay
+    * zero, exactly as summing their zeros would leave them). */
   private def treeMergePartials(
-      partials: org.apache.spark.rdd.RDD[(Int, Array[Double], Array[Double])],
-      width0: Int, wk: Int, k: Int): (Array[Double], Array[Double]) = {
+      partials: org.apache.spark.rdd.RDD[(Int, Int, Array[Double])],
+      width0: Int, w: Int, k: Int, sliceT: Int): (Array[Double], Array[Double]) = {
     val parallelism = partials.sparkContext.defaultParallelism
-    var lvl = partials.map { case (pid, ph, zh) => (pid, (ph, zh)) }
+    var lvl = partials.map { case (pid, s, vs) => ((s, pid), vs) }
     var width = math.max(width0, 1)
     while (width > 1) {
       val nParts = math.max(1, math.min((width + 1) / 2, parallelism))
-      lvl = lvl.map { case (pid, v) => (pid >> 1, (pid, v)) }
+      lvl = lvl.map { case ((s, pid), v) => ((s, pid >> 1), (pid, v)) }
         .groupByKey(nParts)
-        .map { case (npid, items) =>
+        .map { case ((s, npid), items) =>
           val sorted = items.toArray.sortBy(_._1)
-          val accP = new Array[Double](wk)
-          val accZ = new Array[Double](k)
-          sorted.foreach { case (_, (ph, zh)) =>
+          val acc = new Array[Double](sorted(0)._2.length)
+          sorted.foreach { case (_, vs) =>
             var i = 0
-            while (i < wk) { accP(i) += ph(i); i += 1 }
-            i = 0
-            while (i < k) { accZ(i) += zh(i); i += 1 }
+            while (i < acc.length) { acc(i) += vs(i); i += 1 }
           }
-          (npid, (accP, accZ))
+          ((s, npid), acc)
         }
       width = (width + 1) / 2
     }
-    val roots = lvl.collect()
-    require(roots.length == 1, s"tree merge expected 1 root, got ${roots.length}")
-    roots(0)._2
+    val phiHat = new Array[Double](w * k)
+    val zHat = new Array[Double](k)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    lvl.collect().foreach { case ((s, _), vs) =>
+      require(seen.add(s), s"tree merge produced two roots for slice $s")
+      if (s < 0) System.arraycopy(vs, 0, zHat, 0, k)
+      else System.arraycopy(vs, 0, phiHat, s * sliceT * k, vs.length)
+    }
+    (phiHat, zHat)
   }
 
   /** In-fit corpus perplexity from the CURRENT doc thetas and topic

@@ -124,6 +124,87 @@ class LdaSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("sufficient-stats slicing is bitwise-invariant: dense, even and " +
+    "uneven slice widths give identical models") {
+    // slices merge under the same pid-keyed tree, and omitted slices
+    // are all-zero, so every element's float summation is unchanged —
+    // the guarantee that keeps q_lda's golden hash stable across the
+    // sparse-partials layout
+    val pinned = cfg.copy(partitions = 8)
+    val dense = Lda.fit(corpus, "doc_id", "entries", pinned.copy(sliceTerms = 0))
+    val even = Lda.fit(corpus, "doc_id", "entries", pinned.copy(sliceTerms = 16))
+    val uneven = Lda.fit(corpus, "doc_id", "entries", pinned.copy(sliceTerms = 7))
+    assert(dense.nPhi.sameElements(even.nPhi))
+    assert(dense.nZ.sameElements(even.nZ))
+    assert(dense.nPhi.sameElements(uneven.nPhi))
+    assert(dense.nZ.sameElements(uneven.nZ))
+  }
+
+  /** Total shuffle bytes written while `body` runs (listener events are
+    * async — poll until the counter stabilises before reading it). */
+  private def shuffleBytesDuring(body: => Unit): Long = {
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try body finally {
+      var prev = -1L
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(100)
+        val cur = bytes.get
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    bytes.get
+  }
+
+  test("sparse partials shuffle far fewer bytes than dense on a corpus " +
+    "touching a fraction of the vocabulary, with an identical model") {
+    import spark.implicits._
+    // 60 docs over a 2^18-term vocabulary, every token in terms
+    // [0,256): one of 256 slices touched, so the per-partition partial
+    // shrinks from 2^18×k to 1024×k values. The vocabulary is sized so
+    // that even under lz4 shuffle compression the dense layout's
+    // zero-run overhead (~W/255 bytes per array — the floor production
+    // pays too) dominates the shared nonzero content, making the drop
+    // visible in the COMPRESSED bytes the task metrics record; the raw
+    // (serialisation/memory) ratio is W/touched ≈ 1024×.
+    val bigVocab = 1 << 18
+    val rows = (0 until 60).map { d =>
+      val entries = (0 until 10).map { t =>
+        val u = (mix64(d * 7919L + t) >>> 11) * 1.1102230246251565e-16
+        ((u * 256).toInt.toLong, 1.0 + t % 3)
+      }.groupBy(_._1).map { case (w, es) => (w, es.map(_._2).sum) }.toSeq
+      (d.toLong, entries)
+    }
+    val sparseCorpus = rows.toDF("doc_id", "raw").select(col("doc_id"),
+      transform(col("raw"), e => struct(
+        e.getField("_1").as("term"),
+        e.getField("_2").as("weight"))).as("entries"))
+    val base = LdaConfig(k = 4, vocab = bigVocab, iterations = 2,
+      perplexityEvaluationFrequency = 0, seed = 42, partitions = 8)
+    var mDense: graft.lda.LdaModel = null
+    var mSparse: graft.lda.LdaModel = null
+    val bDense = shuffleBytesDuring {
+      mDense = Lda.fit(sparseCorpus, "doc_id", "entries", base.copy(sliceTerms = 0))
+    }
+    val bSparse = shuffleBytesDuring {
+      mSparse = Lda.fit(sparseCorpus, "doc_id", "entries", base.copy(sliceTerms = 1024))
+    }
+    assert(mDense.nPhi.sameElements(mSparse.nPhi))
+    assert(mDense.nZ.sameElements(mSparse.nZ))
+    assert(bSparse < bDense / 2,
+      s"sparse partials should halve shuffle volume at least: " +
+        s"dense=$bDense sparse=$bSparse")
+  }
+
   test("perplexity of the fitted model beats the uniform model") {
     val model = Lda.fit(corpus, "doc_id", "entries", cfg)
     val p = model.perplexity(corpus, "doc_id", "entries")
