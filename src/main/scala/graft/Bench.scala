@@ -179,6 +179,24 @@ object Bench {
     val synthetic = sys.env.get("SPARK_GRAFT_BENCH_DOCS").map(_.toInt)
       .getOrElse(330000)
 
+    var globalBestMeanBw = 0.0
+    // ---- absolute cross-run bandwidth reference (sidecar file) ----
+    // Best-ever in-run canary mean this host has recorded, persisted
+    // across runs so a uniformly-depressed session cannot lower its own
+    // bar. Seeded at 55 GB/s: the idle 8-thread canary's clean range on
+    // this host is ~60-100 GB/s and the *in-run* mean (depressed by the
+    // measured job's traffic) has been observed at ~45-70 in clean
+    // windows vs 11-35 in degraded ones. Capped at 70 so one freak
+    // reading can never permanently raise the bar past reachable-clean.
+    val bwRefSeed = 55.0
+    val bwRefCap = 70.0
+    val bwRefPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BW_REF", "bench-bw-ref.txt"))
+    val bwRef: Double = (try {
+      new String(java.nio.file.Files.readAllBytes(bwRefPath), "UTF-8")
+        .trim.toDouble
+    } catch { case _: Throwable => bwRefSeed }).max(bwRefSeed).min(bwRefCap)
+
     // ---- phase 1: per-query timings at 4N cores ----
     // (SPARK_GRAFT_BENCH_QUERIES=0 skips it — scaling-iteration use)
     // partitions: 1×cores (fastest measured at both levels at ~375k
@@ -190,7 +208,19 @@ object Bench {
     def parts(c: Int) = math.max(c, synthetic / 100000)
     val queryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val queryErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var queryBwMean = 0.0
+    var queryPhases = 0
+    var queryClean = false
+    // a query-phase pass is clean when its in-run canary mean clears
+    // this fraction of the absolute reference — same depression
+    // allowance as the 4N dedup level (the phase runs at 4N cores).
+    // r3's per-query artifact had NO such gate and recorded a
+    // contiguous alphabetical block of 2-10× "regressions" in UNCHANGED
+    // code from a mid-phase window collapse (bwMean 20-31 vs 61 clean).
+    val queryFloorFrac = 0.70
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {
+      val maxQueryPhases = sys.env.get("SPARK_GRAFT_BENCH_QUERY_PHASES")
+        .map(_.toInt).getOrElse(3)
       val spark = session(cpus4N, parts(cpus4N))
       try {
         // throwaway warmup: absorb session/codegen/scan-index startup so
@@ -203,20 +233,58 @@ object Bench {
           SparkEntry.queries.get("q1_agg")
             .foreach(fn => fn(spark, sfDir)
               .write.mode("overwrite").format("noop").save())
+          canaryGbps() // canary JIT warmup — first reading is cold
         } catch { case _: Throwable => () }
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-          val t0 = System.nanoTime()
-          // a failed query must NOT masquerade as a fast one: record -1
-          // plus the error so broken queries can't inflate the bench
-          try {
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            queryTimes(name) = (System.nanoTime() - t0) / 1e9
-          } catch {
-            case e: Throwable =>
-              queryTimes(name) = -1.0
-              queryErrors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-                .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+        // retry-until-clean with per-query MIN-merge across passes:
+        // contention only ever inflates a wall time, so the fastest
+        // sample of each query is the most faithful one and extra
+        // passes can only improve the artifact
+        while (queryPhases < maxQueryPhases && !queryClean) {
+          val bwSamples =
+            new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
+          @volatile var sampling = true
+          val sampler = new Thread(() => {
+            while (sampling) {
+              bwSamples.add(canaryGbps())
+              try Thread.sleep(6000L)
+              catch { case _: InterruptedException => () }
+            }
+          })
+          sampler.setDaemon(true)
+          sampler.start()
+          SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+            val t0 = System.nanoTime()
+            // a failed query must NOT masquerade as a fast one: record -1
+            // plus the error so broken queries can't inflate the bench
+            try {
+              fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (queryTimes.getOrElse(name, -1.0) < 0 ||
+                  sec < queryTimes(name)) queryTimes(name) = sec
+              queryErrors.remove(name)
+            } catch {
+              case e: Throwable =>
+                if (!queryTimes.get(name).exists(_ >= 0)) {
+                  queryTimes(name) = -1.0
+                  queryErrors(name) =
+                    Option(e.getMessage).getOrElse(e.getClass.getName)
+                      .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+                }
+            }
           }
+          sampling = false
+          sampler.interrupt()
+          sampler.join(1000)
+          val bws = bwSamples.toArray
+            .map(_.asInstanceOf[java.lang.Double].doubleValue)
+          val mean = if (bws.nonEmpty) bws.sum / bws.length else 0.0
+          queryPhases += 1
+          queryBwMean = math.max(queryBwMean, mean)
+          globalBestMeanBw = math.max(globalBestMeanBw, mean)
+          queryClean = mean >= queryFloorFrac * bwRef
+          System.err.println(f"[bench] query phase $queryPhases: " +
+            f"bwMean=$mean%.0f GB/s (clean bar ${queryFloorFrac * bwRef}%.0f) " +
+            s"clean=$queryClean")
         }
       } finally spark.stop()
     }
@@ -280,23 +348,6 @@ object Bench {
     // same depressed window (recorded an 8-core leg slower than its
     // 2-core leg, flagged clean, eff_small 0.189 vs 0.945 measured
     // clean hours later — round-3 verdict item #1).
-    var globalBestMeanBw = 0.0
-    // ---- absolute cross-run bandwidth reference (sidecar file) ----
-    // Best-ever in-run canary mean this host has recorded, persisted
-    // across runs so a uniformly-depressed session cannot lower its own
-    // bar. Seeded at 55 GB/s: the idle 8-thread canary's clean range on
-    // this host is ~60-100 GB/s and the *in-run* mean (depressed by the
-    // measured job's traffic) has been observed at ~45-70 in clean
-    // windows vs 11-35 in degraded ones. Capped at 70 so one freak
-    // reading can never permanently raise the bar past reachable-clean.
-    val bwRefSeed = 55.0
-    val bwRefCap = 70.0
-    val bwRefPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BW_REF", "bench-bw-ref.txt"))
-    val bwRef: Double = (try {
-      new String(java.nio.file.Files.readAllBytes(bwRefPath), "UTF-8")
-        .trim.toDouble
-    } catch { case _: Throwable => bwRefSeed }).max(bwRefSeed).min(bwRefCap)
     def crossRunBest: Double = math.max(globalBestMeanBw, bwRef)
     final class Level(val cores: Int, val targetClean: Int,
                       val maxAttempts: Int, val floorFrac: Double) {
@@ -429,7 +480,10 @@ object Bench {
     println(
       s"""{"metric":"dedup_docs_per_sec","value":${"%.1f".format(thr4N)},""" +
       s""""unit":"docs/sec","total_sec":${"%.2f".format(total)},""" +
-      s""""queries":$qs,"errors":$errs,"sf":"$sfDir",""" +
+      s""""queries":$qs,"errors":$errs,""" +
+      s""""query_bw_mean":${"%.1f".format(queryBwMean)},""" +
+      s""""query_phases":$queryPhases,"query_clean":$queryClean,""" +
+      s""""sf":"$sfDir",""" +
       s""""dedup":{"docs":$docs4N,""" +
       smallJson +
       s""""cores_n":$cpusN,"sec_n":${"%.2f".format(secN)},""" +
