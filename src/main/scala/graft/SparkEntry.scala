@@ -375,6 +375,26 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
     }),
 
+    // ---- ANN-IVF (coarse-quantizer scale path) over the same planted
+    // partner construction: probing 2 of 8 cells must still rank the
+    // partner top-1 → generate_series oracle ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val vecs = SyntheticVectors.generate(s, 50)
+      graft.ops.Ivf.ivfTopK(vecs, "vec_id", "embedding", vecs, 1,
+          nCells = 8, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+    }),
+
+    // ---- embedding-cosine near-dup pairs (dedup family, embedding
+    // space): planted partners (2j, 2j+1) have cos ≈ 0.997 ≥ τ=0.9,
+    // cross-cluster cos ≈ N(0, 1/64) ≪ τ → the found set must be
+    // EXACTLY the planted pairs (no misses, no false positives) ----
+    "q_cos_near_dup" -> ((s, dir) => {
+      val vecs = SyntheticVectors.generate(s, 75)
+      TrainingDataOps.cosineNearDup(vecs, "vec_id", "embedding", 0.9)
+        .select(col("a_id"), col("b_id"))
+    }),
+
     // ---- LSH Forest prefix expansion (SURVEY H5): planted partner of
     // fingerprint i is i XOR 1 (1-2 flipped bits) → top-1 must be the
     // partner; generate_series oracle, same pattern as q_ann_lsh ----
@@ -716,6 +736,19 @@ object SparkEntry {
         """SELECT i::BIGINT AS query_id,
           | (CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END)::BIGINT AS neighbor_id,
           | 1 AS rank FROM generate_series(0, 99) t(i)"""
+          .stripMargin.replace("\n", ""),
+
+      // planted-partner ANN via IVF: same construction truth
+      "q_ann_ivf" ->
+        """SELECT i::BIGINT AS query_id,
+          | (CASE WHEN i % 2 = 0 THEN i + 1 ELSE i - 1 END)::BIGINT AS neighbor_id,
+          | 1 AS rank FROM generate_series(0, 99) t(i)"""
+          .stripMargin.replace("\n", ""),
+
+      // planted near-dup pairs: exactly (2j, 2j+1)
+      "q_cos_near_dup" ->
+        """SELECT (2*j)::BIGINT AS a_id, (2*j+1)::BIGINT AS b_id
+          | FROM generate_series(0, 74) t(j)"""
           .stripMargin.replace("\n", "")
     ) ++ goldenOracles
   }

@@ -392,6 +392,31 @@ case class SparseRandomProject(child: Expression, k: Int, density: Double)
   override def prettyName: String = s"sparse_random_project_$k"
 }
 
+/** `ivfProbe(vec)` → the `nProbe` nearest IVF cells of an embedding
+  * (array<float> or array<double>) by dot product against a unit-norm
+  * codebook carried as a reference object (flat row-major, like
+  * [[SimHash64Idf]]'s idf arrays) — one codegen'd pass per row instead
+  * of a per-row centroid join or an interpreted higher-order fold.
+  * Kernel: [[graft.ops.Ivf.probeKernel]]. */
+case class IvfProbe(child: Expression, flat: Array[Double], dim: Int,
+                    nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def nullSafeEval(v: Any): Any =
+    graft.ops.Ivf.probeKernel(v.asInstanceOf[ArrayData], flat, dim, nProbe,
+      isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCodebook", flat, "double[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.ops.Ivf.probeKernel($c, $cRef, $dim, $nProbe, $isFloat)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfProbe =
+    copy(child = c)
+  override def prettyName: String = s"ivf_probe_$nProbe"
+}
+
 /** Column-level API. */
 object HashFunctions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -427,4 +452,6 @@ object HashFunctions {
     col(ElementalScaled(expr(key), expr(w), k, density))
   def sparseRandomProject(entries: Column, k: Int, density: Double): Column =
     col(SparseRandomProject(expr(entries), k, density))
+  def ivfProbe(vec: Column, flat: Array[Double], dim: Int, nProbe: Int): Column =
+    col(IvfProbe(expr(vec), flat, dim, nProbe))
 }

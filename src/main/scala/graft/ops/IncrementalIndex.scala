@@ -34,7 +34,8 @@ import graft.DedupPipeline.CorpusStats
  * index size.
  */
 class IncrementalIndex(spark: SparkSession, path: String,
-                       cfg: DedupConfig = DedupConfig()) {
+                       cfg: DedupConfig = DedupConfig(),
+                       autoRefitGrowth: Double = 0.0) {
   import graft.ckpt.Fs
 
   // signatures live in a shared partitioned-parquet batch store (also
@@ -122,7 +123,21 @@ class IncrementalIndex(spark: SparkSession, path: String,
       store.append(sigs, id => bandStore.writeBatch(bandRows(sigs), id))
       ()
     } finally { sigs.unpersist(); () }
+    maybeAutoRefit()
   }
+
+  /** Growth-triggered [[refit]] (constructor knob `autoRefitGrowth`
+    * > 1): when the stored corpus has grown past `autoRefitGrowth` ×
+    * the doc count the persisted stats were fitted on, the first-put
+    * stats are presumed drifted (stale idf, unconditioned boilerplate)
+    * and a refit runs as part of the put. Cost: one slim count job per
+    * put while under the threshold; the refit itself re-signatures all
+    * batches — amortised geometrically, like capacity-doubling rehash. */
+  private def maybeAutoRefit(): Unit =
+    if (autoRefitGrowth > 1.0) loadStats().foreach { st =>
+      val n = store.all().select("doc_id").distinct().count()
+      if (n >= autoRefitGrowth * st.n) refit()
+    }
 
   /** Band rows of signature rows, in the serving layout. `keep` carries
     * extra columns through (the refit rewrite keeps `batch`). */
@@ -149,6 +164,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
       store.writeBatch(sigs, batchId)
       bandStore.writeBatch(bandRows(sigs), batchId)
     } finally { sigs.unpersist(); () }
+    maybeAutoRefit()
   }
 
   /**

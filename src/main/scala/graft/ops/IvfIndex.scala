@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.verify.Measures
+
+/**
+ * Mutable IVF serving index — the embedding-space sibling of
+ * [[IncrementalIndex]] (MinHash bands) and
+ * [[graft.lsh.ForestIndex]] (rotation prefixes): a cell-partitioned
+ * vector store over the shared [[graft.ckpt.BatchStore]] (idempotent
+ * per-batch puts, single-writer lease, atomic swap-commit removes),
+ * searched by probing `nProbe` cells with PARTITION PRUNING on the
+ * stored scan — candidate fan-in per query is the probed cells'
+ * members, never the corpus.
+ *
+ * The codebook (spherical k-means centroids, [[Ivf.fitCentroids]]) is
+ * fitted on the FIRST put and persisted alongside the rows, so cell
+ * assignment is batch-independent — the same consistency requirement
+ * as the dedup index's first-put corpus stats. A drifted corpus (later
+ * batches far from the trained centroids pile into few cells, so
+ * probing loses recall and pruning loses selectivity) is recovered by
+ * [[refit]]: re-fit the codebook over ALL stored vectors and re-assign
+ * every batch, marker-first / swap-last, crash-replayed by the next
+ * public operation — after a refit the index is equivalent to one
+ * freshly built from the full corpus (spec'd).
+ */
+class IvfIndex(spark: SparkSession, path: String,
+               nCells: Int = 256, nProbe: Int = 8,
+               iters: Int = 10, sampleCap: Int = 4096) {
+  import graft.ckpt.Fs
+
+  private val store = new graft.ckpt.BatchStore(spark, s"$path/rows",
+    subPartitionCols = Seq("cell"))
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def bookPath = s"$path/codebook"
+  private def bookNextPath = s"$path/codebook.refit"
+
+  def isEmpty: Boolean = store.isEmpty
+
+  private def loadBookFrom(p: String): Option[Array[Array[Double]]] =
+    if (!Fs.exists(p, hconf)) None
+    else Some(spark.read.parquet(p).orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray))
+
+  private def loadBook(): Option[Array[Array[Double]]] = loadBookFrom(bookPath)
+
+  private def saveBookTo(p: String, cents: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").repartition(1)
+      .write.mode("overwrite").parquet(p)
+  }
+
+  /** Assign rows (id, vec) to cells with the persisted codebook
+    * (fitted over this batch on the first call). */
+  private def assigned(vecs: DataFrame): DataFrame = {
+    val v = vecs.select(col("id").cast("long").as("id"), col("vec"))
+    val book = loadBook().getOrElse {
+      val b = Ivf.fitCentroids(v, "id", "vec", nCells, iters, sampleCap)
+      saveBookTo(bookPath, b)
+      b
+    }
+    v.select(
+      element_at(Ivf.probe(col("vec"), book, 1), 1).as("cell"),
+      col("id"), col("vec"))
+  }
+
+  /** Append (id, vec) rows as a new batch under one writer-lease
+    * claim. */
+  def put(vecs: DataFrame): Unit = {
+    ensureRefitComplete()
+    store.append(assigned(vecs))
+    ()
+  }
+
+  /** Idempotent per-batch insert (streaming replay safe). */
+  def putBatch(vecs: DataFrame, batchId: Long): Unit = {
+    ensureRefitComplete()
+    store.writeBatch(assigned(vecs), batchId)
+  }
+
+  /** Remove by id: anti-join rewrite, atomic swap. */
+  def remove(ids: DataFrame): Unit = {
+    ensureRefitComplete()
+    store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
+      Seq("id"), "left_anti"))
+  }
+
+  /** The stored (id, vec, cell, batch) rows. */
+  def all(): DataFrame = store.all()
+
+  /**
+   * Re-fit the codebook over every stored vector and re-assign all
+   * batches (same crash protocol as [[IncrementalIndex.refit]]: the new
+   * codebook lands in a `codebook.refit` marker first, the store is
+   * rewritten through its swap commit, the marker is swapped into place
+   * last; a crash anywhere is replayed idempotently). After a refit the
+   * index serves exactly what a fresh build over the full corpus would.
+   */
+  def refit(): Unit = {
+    require(!isEmpty, "refit() on an empty index")
+    ensureRefitComplete()
+    val book = Ivf.fitCentroids(store.all(), "id", "vec", nCells, iters,
+      sampleCap)
+    val tmp = s"$bookNextPath.tmp"
+    Fs.deleteIfExists(tmp, hconf)
+    saveBookTo(tmp, book)
+    Fs.deleteIfExists(bookNextPath, hconf)
+    Fs.rename(tmp, bookNextPath, hconf)
+    completeRefit(book)
+  }
+
+  private def completeRefit(book: Array[Array[Double]]): Unit = {
+    store.rewrite(df => df.select(
+      element_at(Ivf.probe(col("vec"), book, 1), 1).as("cell"),
+      col("id"), col("vec"), col("batch")))
+    Fs.swapInto(bookNextPath, bookPath, hconf)
+  }
+
+  private def ensureRefitComplete(): Unit = {
+    Fs.recoverSwap(bookNextPath, bookPath, hconf)
+    loadBookFrom(bookNextPath).foreach(completeRefit)
+  }
+
+  /**
+   * Top-k cosine neighbours of `queries` (id, vec) against the stored
+   * index. The stored side reads ONLY the `cell` partitions the query
+   * batch probes (PartitionFilters at the scan); the pruning set is
+   * bounded by the cell DOMAIN (`nCells`), a constructor constant,
+   * never by query or index size. Output: (query_id, neighbor_id,
+   * rank), rank 1..k by (cos desc, id) — [[Ivf.ivfTopK]]'s contract.
+   */
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    ensureRefitComplete()
+    val book = loadBook().getOrElse(
+      throw new IllegalStateException(s"empty IVF index at $path"))
+    val q = queries.select(col("id").cast("long").as("query_id"),
+        col("vec").as("qv"))
+      .withColumn("cell", explode(Ivf.probe(col("qv"), book, nProbe)))
+    // pruning set: distinct probed cells — domain-bounded collect
+    val cells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val stored = store.all()
+      .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"))
+    // id-only pair dedup through the cell join (a pair can meet in
+    // several probed cells); vectors re-join once per surviving pair
+    val cands = q.select("query_id", "cell")
+      .join(stored.select("cell", "neighbor_id"), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(queries.select(col("id").cast("long").as("query_id"),
+        col("vec").as("qv")), "query_id")
+      .join(stored.select("neighbor_id", "cv"), "neighbor_id")
+      .withColumn("cos", Measures.cosineDense(
+        transform(col("qv"), x => x.cast("double")),
+        transform(col("cv"), x => x.cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+}

@@ -106,20 +106,57 @@ object TrainingDataOps {
    * candidates = bucket collisions; exact cosine re-rank per query.
    * At 10^9+ vectors the bucket shuffle replaces the O(n·q) scan.
    */
+  /**
+   * Embedding-cosine near-duplicate pairs (the dedup family's
+   * embedding-space member, next to exact-hash / MinHash-Jaccard /
+   * SimHash-Hamming / substring): all pairs with cosine ≥ `tau`,
+   * surfaced through SimHash band buckets (candidates = bucket
+   * collisions — never the O(n²) cross join) and verified with the
+   * exact cosine. Output: (a_id, b_id, cos) with a_id < b_id.
+   * Recall follows the banding bound: a pair at angle θ collides in
+   * ≥1 of `tables` bands of `bits` bits with prob
+   * 1 − (1 − (1−θ/π)^bits)^tables — at tau=0.9 and the 16×6 default
+   * that is ≈ 0.9997, and near-dup pairs (cos ≥ 0.99) are ≈ 1 − 1e-11.
+   */
+  def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, tables: Int = 16, bits: Int = 6): DataFrame = {
+    val sigs = embeddings.select(col(idCol).as("__id"),
+      embeddingSig(col(vecCol)).as("__sig"))
+    val b = sigs.select(col("__id"), explode(
+        graft.lsh.Lsh.simhashBandKeys(col("__sig"), tables, bits)).as("bk"))
+      .select(col("__id"), col("bk.band"), col("bk.key"))
+    // id-only pair dedup through the band shuffle; vectors join after
+    val cands = b.toDF("a_id", "band", "key")
+      .join(b.toDF("b_id", "band", "key"), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av")), "a_id")
+      .join(embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv")), "b_id")
+      .withColumn("cos", Measures.cosineDense(
+        transform(col("av"), x => x.cast("double")),
+        transform(col("bv"), x => x.cast("double"))))
+      .filter(col("cos") >= tau)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** 64-bit SimHash of a dense embedding via deterministic random
+    * hyperplanes (index-as-term sparse view; dimension derived from
+    * the data — a hardcoded dim silently truncated/NaN'd other widths,
+    * round-1 defect). */
+  private def embeddingSig(vec: Column): Column = {
+    val entries = zip_with(
+      sequence(lit(0L), (size(vec) - 1).cast("long")),
+      transform(vec, x => x.cast("double")),
+      (i, x) => struct(i.as("term"), x.as("weight")))
+    graft.hash.HashFunctions.simhash64(entries)
+  }
+
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int,
               tables: Int = 8, bits: Int = 8): DataFrame = {
     import embeddings.sparkSession.implicits._
-    def sig(vec: Column): Column = {
-      // dense vector -> sparse entries (index as term id) -> simhash64;
-      // dimension derived from the data (a hardcoded dim silently
-      // truncated/NaN'd other widths — round-1 defect)
-      val entries = zip_with(
-        sequence(lit(0L), (size(vec) - 1).cast("long")),
-        transform(vec, x => x.cast("double")),
-        (i, x) => struct(i.as("term"), x.as("weight")))
-      graft.hash.HashFunctions.simhash64(entries)
-    }
+    def sig(vec: Column): Column = embeddingSig(vec)
     val cb = embeddings.select(col(idCol).as("neighbor_id"),
         sig(col(vecCol)).as("csig"))
       .select($"neighbor_id", explode(

@@ -185,8 +185,8 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
     * sets are EXACTLY the 60 shared shingles → guaranteed collision. */
   private val refitCfg = DedupConfig(bands = 2, rows = 64)
 
-  private def driftFixture(dir: String): (graft.ops.IncrementalIndex,
-      org.apache.spark.sql.DataFrame) = {
+  private def driftFixture(dir: String, autoRefitGrowth: Double = 0.0):
+      (graft.ops.IncrementalIndex, org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     val C = (1 to 60).map(w("cc", _))
     val P = (1 to 4).map(w("pp", _))
@@ -199,7 +199,7 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
           (s"db$i", ((1 to 20).map(j => w(s"db${i}z", j)) ++ P ++ tB).mkString(" ")))
     }
     val docB = ("uB", (C ++ P ++ tB).mkString(" "))
-    val idx = new graft.ops.IncrementalIndex(spark, dir, refitCfg)
+    val idx = new graft.ops.IncrementalIndex(spark, dir, refitCfg, autoRefitGrowth)
     idx.put(batch0.toDF("url", "text"))
     idx.put((drift :+ docB).toDF("url", "text"))
     (idx, Seq(("uA", (C ++ P ++ tA).mkString(" "))).toDF("url", "text"))
@@ -220,6 +220,18 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
     // never from verification): jaccard ≈ 60/72
     val j = idx.search(qA).select("jaccard").as[Double].head()
     assert(j > 0.8 && j < 0.9)
+  }
+
+  test("autoRefitGrowth: the drift batch trips the growth threshold and " +
+    "refits during put — the pair is found with NO manual refit call") {
+    import spark.implicits._
+    // batch0 fits stats at n=12; the drift batch grows the corpus to 37
+    // ≥ 2×12, so put() itself runs the refit
+    val (idx, qA) = driftFixture(s"${freshDir()}/idx", autoRefitGrowth = 2.0)
+    val hits = idx.search(qA)
+      .select("query_url", "match_url").as[(String, String)].collect().toSet
+    assert(hits === Set(("uA", "uB")),
+      "growth-triggered auto-refit must recondition the bands")
   }
 
   test("IncrementalIndex.refit on an undrifted corpus: search results " +
