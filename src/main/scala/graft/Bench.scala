@@ -212,12 +212,16 @@ object Bench {
     var queryPhases = 0
     var queryClean = false
     // a query-phase pass is clean when its in-run canary mean clears
-    // this fraction of the absolute reference — same depression
-    // allowance as the 4N dedup level (the phase runs at 4N cores).
-    // r3's per-query artifact had NO such gate and recorded a
-    // contiguous alphabetical block of 2-10× "regressions" in UNCHANGED
-    // code from a mid-phase window collapse (bwMean 20-31 vs 61 clean).
+    // the same effective bar as the 4N dedup level: baseline =
+    // 0.70 × ref (the 32-core in-run depression allowance), with the
+    // maxSlow slack the level gates also grant — i.e. clean ⇔
+    // baseline / mean ≤ maxSlow. r3's per-query artifact had NO such
+    // gate and recorded a contiguous alphabetical block of 2-10×
+    // "regressions" in UNCHANGED code from a mid-phase window collapse
+    // (bwMean 20-31 vs 61 clean).
     val queryFloorFrac = 0.70
+    val maxSlow = sys.env.get("SPARK_GRAFT_BENCH_MAX_SLOWDOWN")
+      .map(_.toDouble).getOrElse(1.3)
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "1") != "0") {
       val maxQueryPhases = sys.env.get("SPARK_GRAFT_BENCH_QUERY_PHASES")
         .map(_.toInt).getOrElse(3)
@@ -281,9 +285,10 @@ object Bench {
           queryPhases += 1
           queryBwMean = math.max(queryBwMean, mean)
           globalBestMeanBw = math.max(globalBestMeanBw, mean)
-          queryClean = mean >= queryFloorFrac * bwRef
+          queryClean = mean >= queryFloorFrac * bwRef / maxSlow
           System.err.println(f"[bench] query phase $queryPhases: " +
-            f"bwMean=$mean%.0f GB/s (clean bar ${queryFloorFrac * bwRef}%.0f) " +
+            f"bwMean=$mean%.0f GB/s " +
+            f"(clean bar ${queryFloorFrac * bwRef / maxSlow}%.0f) " +
             s"clean=$queryClean")
         }
       } finally spark.stop()
@@ -305,8 +310,7 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(2)
     val maxSteal = sys.env.get("SPARK_GRAFT_BENCH_MAX_STEAL")
       .map(_.toDouble).getOrElse(5.0)
-    val maxSlow = sys.env.get("SPARK_GRAFT_BENCH_MAX_SLOWDOWN")
-      .map(_.toDouble).getOrElse(1.3)
+    // maxSlow is defined with the query-phase gate above (same slack)
     val cpusS = math.max(1, cpusN / 4)
     val smallPair = cpusS < cpusN &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_SMALL", "1") != "0"
