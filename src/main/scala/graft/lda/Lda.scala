@@ -125,6 +125,37 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
       }.toDF(docIdCol, "theta")
   }
 
+  /** Persist as parquet + JSON manifest (atomic rename — the same
+    * commit protocol as [[graft.dimred.DimRedModel.save]]; the
+    * reference has no LDA Save/Load, this is the operational surface a
+    * fit-once/transform-everywhere pipeline needs). The topic-word
+    * stats ship as (term, vec[k]) rows — vocab-bounded, never
+    * corpus-sized. */
+  def save(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val K = cfg.k
+    // nPhi rides as a broadcast (one copy per executor), never in the
+    // task closure — a W×K closure is ~200 MB per task at production
+    // shape
+    val bc = spark.sparkContext.broadcast(nPhi)
+    try {
+      spark.range(0, cfg.vocab.toLong, 1,
+          spark.sparkContext.defaultParallelism)
+        .map { w =>
+          (w, bc.value.slice(w.toInt * K, w.toInt * K + K).toSeq)
+        }
+        .toDF("term", "vec")
+        .write.mode("overwrite").parquet(s"$path/nphi.parquet")
+    } finally bc.destroy()
+    graft.ckpt.Fs.writeStringAtomic(s"$path/model.json",
+      s"""{"k":$K,"vocab":${cfg.vocab},"iters":$itersRun,""" +
+        s""""nz":[${nZ.mkString(",")}],""" +
+        s""""cfg":{"alpha":${cfg.alpha},"eta":${cfg.eta},""" +
+        s""""seed":${cfg.seed},"partitions":${cfg.partitions},""" +
+        s""""transformationPasses":${cfg.transformationPasses}}}""",
+      spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Corpus perplexity against the fitted model (`lda.go:366-400`). */
   def perplexity(docs: DataFrame, docIdCol: String, entriesCol: String): Double = {
     val spark = docs.sparkSession
@@ -156,6 +187,32 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
 }
 
 object Lda {
+
+  /** Load a model previously written by [[LdaModel.save]]. The
+    * collected nPhi is W×K — the model's own (bounded) size, the same
+    * memory the fit's driver already holds. */
+  def load(spark: SparkSession, path: String): LdaModel = {
+    val json = graft.ckpt.Fs.readString(s"$path/model.json",
+      spark.sparkContext.hadoopConfiguration)
+    def num(k: String) =
+      (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(json).get.group(1)
+    val k = num("k").toInt
+    val vocab = num("vocab").toInt
+    val nZ = """"nz":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
+      .split(",").filter(_.nonEmpty).map(_.toDouble)
+    val cfg = LdaConfig(k = k, vocab = vocab,
+      alpha = num("alpha").toDouble, eta = num("eta").toDouble,
+      seed = num("seed").toLong, partitions = num("partitions").toInt,
+      transformationPasses = num("transformationPasses").toInt)
+    val nPhi = new Array[Double](vocab * k)
+    spark.read.parquet(s"$path/nphi.parquet").collect().foreach { r =>
+      val w = r.getLong(0).toInt
+      val vec = r.getSeq[Double](1)
+      var i = 0
+      while (i < k) { nPhi(w * k + i) = vec(i); i += 1 }
+    }
+    new LdaModel(nPhi, nZ, cfg, num("iters").toInt)
+  }
 
   /** Per-doc training state: entries + the doc's nTheta. */
   final case class DocState(docId: Long, terms: Array[Int], cnts: Array[Double],

@@ -205,6 +205,23 @@ class LdaSpec extends AnyFunSuite with SparkSpec {
         s"dense=$bDense sparse=$bSparse")
   }
 
+  test("save/load round-trips the model bit-exactly (parquet nPhi + " +
+    "json manifest, broadcast-shipped write)") {
+    val m = Lda.fit(corpus, "doc_id", "entries", cfg)
+    val dir = java.nio.file.Files.createTempDirectory("ldamodel").toString
+    m.save(spark, s"$dir/m")
+    val l = Lda.load(spark, s"$dir/m")
+    assert(l.nPhi.sameElements(m.nPhi))
+    assert(l.nZ.sameElements(m.nZ))
+    assert(l.cfg.k === m.cfg.k && l.cfg.vocab === m.cfg.vocab &&
+      l.cfg.seed === m.cfg.seed)
+    val a = m.transform(corpus, "doc_id", "entries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = l.transform(corpus, "doc_id", "entries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b, "loaded model must transform identically")
+  }
+
   test("perplexity of the fitted model beats the uniform model") {
     val model = Lda.fit(corpus, "doc_id", "entries", cfg)
     val p = model.perplexity(corpus, "doc_id", "entries")
