@@ -137,7 +137,12 @@ object Ivf {
                   nProbe: Int, isFloat: Boolean): ArrayData = {
     val nCells = flat.length / dim
     val p = math.min(nProbe, nCells)
-    val n = math.min(vec.numElements(), dim)
+    val n = vec.numElements()
+    if (n != dim)
+      throw new IllegalArgumentException(
+        s"ivf_probe: vector dim $n != codebook dim $dim — refusing to " +
+          "truncate silently (mixed-width embeddings reaching one codebook " +
+          "is a schema error)")
     val topCell = new Array[Int](p)
     val topDot = new Array[Double](p)
     java.util.Arrays.fill(topDot, Double.NegativeInfinity)
