@@ -28,7 +28,8 @@ import graft.verify.Measures
  */
 class IvfIndex(spark: SparkSession, path: String,
                nCells: Int = 256, nProbe: Int = 8,
-               iters: Int = 10, sampleCap: Int = 4096) {
+               iters: Int = 10, sampleCap: Int = 4096,
+               autoRefitGrowth: Double = 0.0) {
   import graft.ckpt.Fs
 
   private val store = new graft.ckpt.BatchStore(spark, s"$path/rows",
@@ -41,14 +42,22 @@ class IvfIndex(spark: SparkSession, path: String,
 
   private def loadBookFrom(p: String): Option[Array[Array[Double]]] =
     if (!Fs.exists(p, hconf)) None
-    else Some(spark.read.parquet(p).orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray))
+    else Some(spark.read.parquet(p).filter(col("cell") >= 0).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray))
 
   private def loadBook(): Option[Array[Array[Double]]] = loadBookFrom(bookPath)
 
-  private def saveBookTo(p: String, cents: Array[Array[Double]]): Unit = {
+  /** Doc count the codebook at `p` was fitted on (rides as a sentinel
+    * cell −1 row, so book + size commit atomically in one parquet). */
+  private def fitSizeFrom(p: String): Long =
+    spark.read.parquet(p).filter(col("cell") === -1)
+      .select("centroid").head().getSeq[Double](0)(0).toLong
+
+  private def saveBookTo(p: String, cents: Array[Array[Double]],
+                         nAtFit: Long): Unit = {
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+    (cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) } :+
+        ((-1, Seq(nAtFit.toDouble)))).toSeq
       .toDF("cell", "centroid").repartition(1)
       .write.mode("overwrite").parquet(p)
   }
@@ -59,7 +68,7 @@ class IvfIndex(spark: SparkSession, path: String,
     val v = vecs.select(col("id").cast("long").as("id"), col("vec"))
     val book = loadBook().getOrElse {
       val b = Ivf.fitCentroids(v, "id", "vec", nCells, iters, sampleCap)
-      saveBookTo(bookPath, b)
+      saveBookTo(bookPath, b, v.count())
       b
     }
     v.select(
@@ -72,14 +81,27 @@ class IvfIndex(spark: SparkSession, path: String,
   def put(vecs: DataFrame): Unit = {
     ensureRefitComplete()
     store.append(assigned(vecs))
-    ()
+    maybeAutoRefit()
   }
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(vecs: DataFrame, batchId: Long): Unit = {
     ensureRefitComplete()
     store.writeBatch(assigned(vecs), batchId)
+    maybeAutoRefit()
   }
+
+  /** Growth-triggered [[refit]] (same policy as
+    * [[IncrementalIndex]]'s knob): when the stored corpus outgrows the
+    * codebook's fit population by `autoRefitGrowth`×, later batches are
+    * presumed to have drifted the cell balance (recall and pruning
+    * selectivity both degrade) and a refit runs as part of the put —
+    * geometrically amortised, like capacity-doubling rehash. */
+  private def maybeAutoRefit(): Unit =
+    if (autoRefitGrowth > 1.0 && Fs.exists(bookPath, hconf)) {
+      val n = store.all().count()
+      if (n >= autoRefitGrowth * fitSizeFrom(bookPath)) refit()
+    }
 
   /** Remove by id: anti-join rewrite, atomic swap. */
   def remove(ids: DataFrame): Unit = {
@@ -102,11 +124,11 @@ class IvfIndex(spark: SparkSession, path: String,
   def refit(): Unit = {
     require(!isEmpty, "refit() on an empty index")
     ensureRefitComplete()
-    val book = Ivf.fitCentroids(store.all(), "id", "vec", nCells, iters,
-      sampleCap)
+    val all = store.all()
+    val book = Ivf.fitCentroids(all, "id", "vec", nCells, iters, sampleCap)
     val tmp = s"$bookNextPath.tmp"
     Fs.deleteIfExists(tmp, hconf)
-    saveBookTo(tmp, book)
+    saveBookTo(tmp, book, all.count())
     Fs.deleteIfExists(bookNextPath, hconf)
     Fs.rename(tmp, bookNextPath, hconf)
     completeRefit(book)

@@ -128,6 +128,37 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     assert(r1.nonEmpty)
   }
 
+  test("IvfIndex autoRefitGrowth: the growth batch refits during put — " +
+    "serving state equals a fresh build with NO manual refit call") {
+    import spark.implicits._
+    val a = vecsDf(25)           // ids 0..49 — codebook fitted at n=50
+    val b = vecsDf(75, 50L)      // ids 50..199 — 200 ≥ 2×50 trips the knob
+    val d1 = s"${freshDir()}/idx1"
+    val auto = new graft.ops.IvfIndex(spark, d1, nCells = 8, nProbe = 2,
+      autoRefitGrowth = 2.0)
+    auto.put(a); auto.put(b)     // second put runs the refit itself
+    val d2 = s"${freshDir()}/idx2"
+    val fresh = new graft.ops.IvfIndex(spark, d2, nCells = 8, nProbe = 2)
+    fresh.put(a.union(b))
+    // cell layout converged to the full-corpus codebook…
+    def cells(i: graft.ops.IvfIndex) = i.all().select("id", "cell")
+      .as[(Long, Int)].collect().toMap
+    assert(cells(auto) === cells(fresh),
+      "auto-refit must re-assign every batch under the full-corpus codebook")
+    // …and so did the served results
+    val queries = vecsDf(100)
+    val r1 = auto.search(queries, 2).as[(Long, Long, Int)].collect().toSet
+    val r2 = fresh.search(queries, 2).as[(Long, Long, Int)].collect().toSet
+    assert(r1 === r2 && r1.nonEmpty)
+    // the stale (first-put) codebook demonstrably differed: without the
+    // knob the same puts keep the n=50 assignment
+    val d3 = s"${freshDir()}/idx3"
+    val stale = new graft.ops.IvfIndex(spark, d3, nCells = 8, nProbe = 2)
+    stale.put(a); stale.put(b)
+    assert(cells(stale) !== cells(fresh),
+      "fixture sanity: drift must actually move cell assignments")
+  }
+
   test("cosineNearDup finds exactly the planted pairs, all above tau") {
     import spark.implicits._
     val vecs = SyntheticVectors.generate(spark, 75)
