@@ -53,9 +53,14 @@ final class BatchStore(spark: SparkSession, root: String,
 
   def isEmpty: Boolean = !Fs.exists(root, hconf)
 
-  def nextBatchId(): Long = {
-    val ids = Fs.listNames(root, hconf)
+  /** Ids of the batch partition directories currently in the store —
+    * one filesystem listing, no Spark job. */
+  def batchIds(): Seq[Long] =
+    Fs.listNames(root, hconf)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+
+  def nextBatchId(): Long = {
+    val ids = batchIds()
     if (ids.isEmpty) 0L else ids.max + 1L
   }
 

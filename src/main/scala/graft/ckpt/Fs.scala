@@ -110,6 +110,26 @@ object Fs {
     if (fs.exists(d) && fs.exists(old)) { fs.delete(old, true); () }
   }
 
+  /** Build a multi-file artifact directory (model payload + manifest)
+    * atomically: `write(staging)` produces the COMPLETE artifact under
+    * a sibling staging dir, which is then swap-committed into `path`
+    * ([[swapInto]]'s aside protocol). Readers complete a crashed
+    * publish with [[recoverPublish]] before reading. Without this,
+    * re-saving over an existing artifact overwrites the payload parquet
+    * in place — a crash mid-write leaves the old manifest pointing at a
+    * partial payload, which a loader reads silently. */
+  def publishDir(path: String, conf: Configuration)(write: String => Unit): Unit = {
+    val staging = path + ".swap"
+    deleteIfExists(staging, conf)
+    write(staging)
+    swapInto(staging, path, conf)
+  }
+
+  /** Complete a [[publishDir]] a crashed writer left mid-swap — called
+    * by loaders before reading (cheap existence probes when clean). */
+  def recoverPublish(path: String, conf: Configuration): Unit =
+    recoverSwap(path + ".swap", path, conf)
+
   /** Atomically create `path` (failing if it already exists) — the
     * claim primitive for single-writer leases. Returns true iff this
     * call created the file. */

@@ -132,18 +132,27 @@ final case class DimRedModel(components: DataFrame, scales: Array[Double], k: In
     * Iceberg-style commit protocol as ckpt.ParquetStageStore). Mirrors
     * the reference's binary Save (`dimreduction.go:111-122`). */
   def save(path: String): Unit = {
-    components.write.mode("overwrite").parquet(s"$path/components.parquet")
-    // manifest through the SAME Hadoop filesystem as the parquet write —
-    // java.nio would land it in a different namespace on HDFS/S3
-    graft.ckpt.Fs.writeStringAtomic(s"$path/model.json",
-      s"""{"k":$k,"scales":[${scales.mkString(",")}]}""",
-      components.sparkSession.sparkContext.hadoopConfiguration)
+    val hconf = components.sparkSession.sparkContext.hadoopConfiguration
+    // whole model dir built under a staging dir, then swap-committed —
+    // a crash mid-re-save over an existing path must not leave the old
+    // manifest next to a partial payload (see Fs.publishDir). The
+    // manifest goes through the SAME Hadoop filesystem as the parquet
+    // write — java.nio would land it in a different namespace on
+    // HDFS/S3.
+    graft.ckpt.Fs.publishDir(path, hconf) { staging =>
+      components.write.mode("overwrite")
+        .parquet(s"$staging/components.parquet")
+      graft.ckpt.Fs.writeStringAtomic(s"$staging/model.json",
+        s"""{"k":$k,"scales":[${scales.mkString(",")}]}""", hconf)
+    }
   }
 }
 
 object DimRedModel {
   /** Load a model previously written by save (`dimreduction.go:128-153`). */
   def load(spark: SparkSession, path: String): DimRedModel = {
+    // complete a save() a crashed writer left mid-commit
+    graft.ckpt.Fs.recoverPublish(path, spark.sparkContext.hadoopConfiguration)
     val json = graft.ckpt.Fs.readString(s"$path/model.json",
       spark.sparkContext.hadoopConfiguration)
     val k = """"k":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt

@@ -134,26 +134,33 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
   def save(spark: SparkSession, path: String): Unit = {
     import spark.implicits._
     val K = cfg.k
-    // nPhi rides as a broadcast (one copy per executor), never in the
-    // task closure — a W×K closure is ~200 MB per task at production
-    // shape
-    val bc = spark.sparkContext.broadcast(nPhi)
-    try {
-      spark.range(0, cfg.vocab.toLong, 1,
-          spark.sparkContext.defaultParallelism)
-        .map { w =>
-          (w, bc.value.slice(w.toInt * K, w.toInt * K + K).toSeq)
-        }
-        .toDF("term", "vec")
-        .write.mode("overwrite").parquet(s"$path/nphi.parquet")
-    } finally bc.destroy()
-    graft.ckpt.Fs.writeStringAtomic(s"$path/model.json",
-      s"""{"k":$K,"vocab":${cfg.vocab},"iters":$itersRun,""" +
-        s""""nz":[${nZ.mkString(",")}],""" +
-        s""""cfg":{"alpha":${cfg.alpha},"eta":${cfg.eta},""" +
-        s""""seed":${cfg.seed},"partitions":${cfg.partitions},""" +
-        s""""transformationPasses":${cfg.transformationPasses}}}""",
-      spark.sparkContext.hadoopConfiguration)
+    // the WHOLE model dir (payload + manifest) is built under a staging
+    // dir and swap-committed: a crash mid-re-save over an existing path
+    // must not leave the old manifest next to a partial (or newer)
+    // payload — load() would silently zero-fill the missing terms
+    graft.ckpt.Fs.publishDir(path,
+        spark.sparkContext.hadoopConfiguration) { staging =>
+      // nPhi rides as a broadcast (one copy per executor), never in the
+      // task closure — a W×K closure is ~200 MB per task at production
+      // shape
+      val bc = spark.sparkContext.broadcast(nPhi)
+      try {
+        spark.range(0, cfg.vocab.toLong, 1,
+            spark.sparkContext.defaultParallelism)
+          .map { w =>
+            (w, bc.value.slice(w.toInt * K, w.toInt * K + K).toSeq)
+          }
+          .toDF("term", "vec")
+          .write.mode("overwrite").parquet(s"$staging/nphi.parquet")
+      } finally bc.destroy()
+      graft.ckpt.Fs.writeStringAtomic(s"$staging/model.json",
+        s"""{"k":$K,"vocab":${cfg.vocab},"iters":$itersRun,""" +
+          s""""nz":[${nZ.mkString(",")}],""" +
+          s""""cfg":{"alpha":${cfg.alpha},"eta":${cfg.eta},""" +
+          s""""seed":${cfg.seed},"partitions":${cfg.partitions},""" +
+          s""""transformationPasses":${cfg.transformationPasses}}}""",
+        spark.sparkContext.hadoopConfiguration)
+    }
   }
 
   /** Corpus perplexity against the fitted model (`lda.go:366-400`). */
@@ -192,6 +199,8 @@ object Lda {
     * collected nPhi is W×K — the model's own (bounded) size, the same
     * memory the fit's driver already holds. */
   def load(spark: SparkSession, path: String): LdaModel = {
+    // complete a save() a crashed writer left mid-commit
+    graft.ckpt.Fs.recoverPublish(path, spark.sparkContext.hadoopConfiguration)
     val json = graft.ckpt.Fs.readString(s"$path/model.json",
       spark.sparkContext.hadoopConfiguration)
     def num(k: String) =

@@ -57,25 +57,47 @@ class ForestIndex(spark: SparkSession, path: String,
 
   def isEmpty: Boolean = store.isEmpty
 
+  /** A store written before the rotated serving layout (pinned schema
+    * without rot/k/tb) cannot be served OR appended to — appending
+    * would mix two incompatible row layouts in one store (the pinned
+    * schema drops the new columns on read, so even the new rows would
+    * be unusable). Fail loudly with the migration path instead of the
+    * bare AnalysisException a missing column would raise mid-plan. */
+  private def requireServingLayout(): Unit =
+    if (!store.isEmpty && !store.all().columns.contains("rot"))
+      throw new IllegalStateException(
+        s"ForestIndex at $path predates the rotated serving layout " +
+          "(pinned schema has no rot/k/tb columns) — rebuild it by " +
+          "re-putting its (id, sig) rows into a fresh path")
+
   /** Append (id, sig) rows as a new batch (reference `Index(v, id)`);
     * the batch id is allocated and written under one writer-lease
     * claim. */
-  def put(sigs: DataFrame): Unit = { store.append(rotRows(sigs)); () }
+  def put(sigs: DataFrame): Unit = {
+    requireServingLayout()
+    store.append(rotRows(sigs)); ()
+  }
 
   /** Idempotent per-batch insert (streaming replay safe). */
-  def putBatch(sigs: DataFrame, batchId: Long): Unit =
+  def putBatch(sigs: DataFrame, batchId: Long): Unit = {
+    requireServingLayout()
     store.writeBatch(rotRows(sigs), batchId)
+  }
 
   /** Remove documents by id (reference `Remove(id)`, `index.go:119-136`):
     * anti-join rewrite into a temp dir, then an atomic swap. */
-  def remove(ids: DataFrame): Unit =
+  def remove(ids: DataFrame): Unit = {
+    requireServingLayout()
     store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
       Seq("id"), "left_anti"))
+  }
 
   /** The stored (id, sig, batch) rows — one per document (the rot=0
     * storage row carries the unrotated signature). */
-  def all(): DataFrame =
+  def all(): DataFrame = {
+    requireServingLayout()
     store.all().filter(col("rot") === 0).select("id", "sig", "batch")
+  }
 
   /** Top-k Hamming neighbours against the stored forest (reference
     * `Search`, `lsh.go:194-240` prefix expansion + `index.go:236-251`
@@ -84,16 +106,27 @@ class ForestIndex(spark: SparkSession, path: String,
     * 64-bit signature column `sig`. The stored side reads only the
     * `tb` partitions the query batch touches.
     * Returns (query_id, neighbor_id, hamming, rank). */
-  def search(queries: DataFrame, k: Int): DataFrame =
-    LshForest.searchTopKRotated(prunedStored(queries),
-      normalize(queries), "id", "sig", k, tables, step, minPrefix)
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    requireServingLayout()
+    // pin the query frame before the driver collects the pruning set
+    // from it: the stored-side tb filter and the search join both
+    // re-evaluate it, and a nondeterministic caller frame (sample,
+    // unordered limit) re-evaluated differently would probe tb
+    // partitions the filter already excluded — silent misses
+    val nq = normalize(queries).localCheckpoint(true)
+    LshForest.searchTopKRotated(prunedOf(nq),
+      nq, "id", "sig", k, tables, step, minPrefix)
+  }
 
   /** The stored rotated rows pruned to the `tb` partitions `queries`
     * touches — the frame [[search]] scans (package-visible so specs can
     * assert the PartitionFilters; the search result itself is
     * checkpoint-cut and no longer shows the file scan). */
-  private[graft] def prunedStored(queries: DataFrame): DataFrame = {
-    val qtb = LshForest.rotated(normalize(queries), "id", "sig", tables)
+  private[graft] def prunedStored(queries: DataFrame): DataFrame =
+    prunedOf(normalize(queries).localCheckpoint(true))
+
+  private def prunedOf(nq: DataFrame): DataFrame = {
+    val qtb = LshForest.rotated(nq, "id", "sig", tables)
       .select(tbCol(col("rot"), col("k")).as("tb"))
     // pruning set: bounded by the tb DOMAIN (tables·2^prefixBits),
     // a constructor constant — never by query or index size

@@ -90,18 +90,36 @@ class IncrementalIndex(spark: SparkSession, path: String,
   /** Signature a batch of pages (url, text) with the PERSISTED corpus
     * stats (fitted and saved on the first call). The hashed-tf column
     * is kept in the stored rows so [[refit]] can re-signature every
-    * batch without the raw text. `audit` runs the WITHIN-batch identity
-    * audit ([[DedupPipeline.resolveIdCollisions]]) — on for the put
-    * paths (stored identities must be unambiguous), off for search
-    * queries (their ids never enter the store; an aliased query id only
-    * merges that query's own result rows). */
+    * batch without the raw text. `audit` normalises null caller ids —
+    * on for the put paths (which then run the unified
+    * [[resolveCrossBatchIds]] audit; stored identities must be
+    * unambiguous), off for search queries (their ids never enter the
+    * store; an aliased query id only merges that query's own result
+    * rows). */
   private def signatures(pages: DataFrame, audit: Boolean): DataFrame = {
     val ext0 = DedupPipeline.extract(pages, cfg)
-    val ext = if (audit) DedupPipeline.resolveIdCollisions(ext0, cfg) else ext0
+    // null caller-supplied ids are normalised up front (the batch
+    // audit's contract); collision RESOLUTION for the put paths lives
+    // in [[resolveCrossBatchIds]], which sees the batch AND the store
+    // in one loop — the batch-LOCAL audit would re-id a stored
+    // incumbent's own re-put whenever a stranger collides with it in
+    // the same batch, splitting one identity across two stored ids
+    val ext = if (audit)
+      ext0.withColumn("doc_id",
+        coalesce(col("doc_id"), xxhash64(col("url"))))
+    else ext0
     val tfd = DedupPipeline.withTf(ext, cfg)
     val stats = loadStats().getOrElse {
       val st = DedupPipeline.fitCorpusStats(tfd, cfg)
-      saveStatsTo(statsPath, st)
+      // atomic first-fit publish: a crash mid-parquet-write must not
+      // leave a partial stats dir that loadStats would silently read
+      // (the store is still empty here, so losing the fit loses nothing
+      // — the next put simply re-fits). Rename into a non-existent dst
+      // fails loudly if a partial dir somehow survived.
+      val tmp = s"$statsPath.tmp"
+      Fs.deleteIfExists(tmp, hconf)
+      saveStatsTo(tmp, st)
+      Fs.rename(tmp, statsPath, hconf)
       st
     }
     DedupPipeline.applySignatures(tfd, stats, cfg, keepTf = true)
@@ -116,7 +134,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * first: a cross-batch doc_id collision would silently alias two
     * documents in every later search. */
   def put(pages: DataFrame): Unit = {
-    ensureRefitComplete()
+    ensureClean()
     val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -157,7 +175,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * the same partition directories instead of duplicating rows. Both
     * halves (signatures + band rows) key on the same batch id. */
   def putBatch(pages: DataFrame, batchId: Long): Unit = {
-    ensureRefitComplete()
+    ensureClean()
     val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -167,33 +185,81 @@ class IncrementalIndex(spark: SparkSession, path: String,
     maybeAutoRefit()
   }
 
+  /** Reconcile the band layout to the signature store: regenerate the
+    * band rows of any stored batch missing from the band store. Covers
+    * (a) a crash between a put's two writes — the signature batch
+    * landed, its band rows did not, and the pruned search would
+    * silently never serve it; (b) an index written before the band
+    * layout existed — one put/search upgrades it in place instead of
+    * serving only post-upgrade batches. Cost when consistent (always,
+    * outside those two cases): two directory listings, no Spark job.
+    * Band rows are DERIVED data (pure function of stored minhashes), so
+    * regeneration is idempotent and crash-safe to replay. */
+  private def reconcileBands(): Unit = {
+    if (store.isEmpty) return
+    val have = bandStore.batchIds().toSet
+    val missing = store.batchIds().filterNot(have)
+    if (missing.nonEmpty) {
+      val all = store.all()
+      missing.foreach { id =>
+        bandStore.writeBatch(
+          bandRows(all.filter(col("batch") === id)), id)
+      }
+    }
+  }
+
   /**
-   * Cross-batch identity audit (the batch pipeline's
+   * Unified identity audit for the put paths (the batch pipeline's
    * [[DedupPipeline.resolveIdCollisions]] contract extended to the
-   * incremental path): a new batch's doc_ids are checked against the
-   * STORED index, and any id claimed by a stored document with a
-   * DIFFERENT url is deterministically re-idd with the same
-   * round-salted rehash the batch audit uses, iterating until clean —
-   * unresolved collisions fail loudly. Re-putting the SAME url is not a
-   * collision (same identity). Scale shape: the audit join ships slim
-   * (doc_id, url-hash) projections — 16 B/doc, the second-seed hash
-   * (seed −1, disjoint from the rehash round range) stands in for url
-   * equality, and the stored side is an equi-join on doc_id (planner
-   * picks broadcast/shuffle from stats); zero collisions — the
-   * overwhelmingly common case — is one join + count per put.
+   * incremental path): every round flags (a) a batch doc_id claimed by
+   * a STORED document with a different url, and (b) two batch docs with
+   * different urls sharing one id — a collision a previous round's
+   * remap can itself mint, which is why the intra-batch check repeats
+   * every round rather than running once up front. Flagged rows are
+   * deterministically re-idd with the round-salted rehash, EXCEPT a
+   * stored incumbent's own re-put (same id, same url): re-idding the
+   * incumbent would split one identity across two stored ids. Iterates
+   * until clean; unresolved collisions fail loudly. Re-putting the SAME
+   * url is not a collision (same identity). Scale shape: the audit
+   * ships slim (doc_id, url-hash) projections — 16 B/doc, the
+   * second-seed hash (seed −1, disjoint from the rehash round range)
+   * stands in for url equality, and the stored side is an equi-join on
+   * doc_id (planner picks broadcast/shuffle from stats); zero
+   * collisions — the overwhelmingly common case — is one join + one
+   * aggregation + count per put.
    */
   private def resolveCrossBatchIds(sigs: DataFrame): DataFrame = {
-    if (store.isEmpty || cfg.idAuditRounds <= 0) return sigs
-    val storedIds = store.all()
-      .select(col("doc_id"), xxhash64(col("url"), lit(-1)).as("__suh"))
+    if (cfg.idAuditRounds <= 0) return sigs
+    // one deterministic (doc_id, url-hash) row per stored id (the store
+    // is unaliased — this audit's own invariant — so the max() is just
+    // a dedup of same-url re-puts across batches). Empty store (first
+    // put) ⇒ empty frame: the loop still audits WITHIN the batch.
+    val storedIds0 =
+      if (store.isEmpty)
+        sigs.select(col("doc_id"),
+          xxhash64(col("url"), lit(-1)).as("__suh")).limit(0)
+      else store.all()
+        .select(col("doc_id"), xxhash64(col("url"), lit(-1)).as("__suh"))
+    val storedIds = storedIds0
+      .groupBy("doc_id").agg(max(col("__suh")).as("__suh"))
     var cur = sigs
     var round = 0
     while (round <= cfg.idAuditRounds) {
-      val bad = cur
+      val qh = cur
         .select(col("doc_id"), xxhash64(col("url"), lit(-1)).as("__quh"))
+      val badStored = qh
         .join(storedIds, Seq("doc_id"))
         .filter(col("__quh") =!= col("__suh"))
-        .select("doc_id").distinct()
+        .select("doc_id")
+      // a REMAP can mint a fresh collision INSIDE the batch (the
+      // remapped id landing on another incoming doc's id) — the
+      // within-batch audit ran before any remap, so re-check here every
+      // round, exactly as the batch pipeline's audit loop does
+      val badIntra = qh.groupBy("doc_id")
+        .agg(countDistinct(col("__quh")).as("__u"))
+        .filter(col("__u") > 1)
+        .select("doc_id")
+      val bad = badStored.union(badIntra).distinct()
       val nBad = bad.count()
       if (nBad == 0) return cur
       if (round == cfg.idAuditRounds)
@@ -204,11 +270,18 @@ class IncrementalIndex(spark: SparkSession, path: String,
       round += 1
       val badIds = (if (nBad <= cfg.broadcastIdLimit) bad.hint("broadcast")
                     else bad).withColumnRenamed("doc_id", "__bad_id")
+      // remap every row with a flagged id EXCEPT a stored incumbent's
+      // own re-put (same id, same url): re-idding the incumbent would
+      // split one identity across two stored ids
       cur = cur.join(badIds, cur("doc_id") === col("__bad_id"), "left")
+        .join(storedIds, Seq("doc_id"), "left")
         .withColumn("doc_id",
-          when(col("__bad_id").isNotNull, xxhash64(col("url"), lit(round)))
+          when(col("__bad_id").isNotNull &&
+              (col("__suh").isNull ||
+                col("__suh") =!= xxhash64(col("url"), lit(-1))),
+            xxhash64(col("url"), lit(round)))
             .otherwise(col("doc_id")))
-        .drop("__bad_id")
+        .drop("__bad_id", "__suh")
     }
     cur
   }
@@ -232,7 +305,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
    */
   def refit(): Unit = {
     require(!isEmpty, "refit() on an empty index")
-    ensureRefitComplete()
+    ensureClean()
     val all = store.all()
     require(all.columns.contains("tf"),
       "this index predates the refit-capable layout (no stored tf " +
@@ -259,38 +332,66 @@ class IncrementalIndex(spark: SparkSession, path: String,
     Fs.swapInto(statsNextPath, statsPath, hconf)
   }
 
-  /** Called on every public operation: finish a refit a crashed writer
-    * left pending (cheap no-op — one existence probe — when none is). */
-  private def ensureRefitComplete(): Unit = {
+  // pending-remove marker: the urls to remove are published here
+  // (atomically) BEFORE either store is rewritten, so a crash between
+  // the two rewrites is replayed by the next operation — without it, a
+  // half-removed doc (gone from the bands, still in the signature
+  // store) would be RESURRECTED by the next refit, which regenerates
+  // band rows from the signature store
+  private def removePendingPath = s"$path/remove.pending"
+
+  /** Called on every public operation: finish whatever a crashed writer
+    * left pending (cheap no-op — a few existence probes — when nothing
+    * is). Order matters: a pending remove replays before a pending
+    * refit, so the refit's regenerated band layout reflects the
+    * removal; the two markers are mutually exclusive by construction
+    * (each public mutation drains both before publishing its own). */
+  private def ensureClean(): Unit = {
     // a crash DURING the final stats swap: complete the swap itself
     Fs.recoverSwap(statsNextPath, statsPath, hconf)
-    // a crash BEFORE the swap: marker still present — replay the
+    if (Fs.exists(removePendingPath, hconf)) completeRemove()
+    // a crash between a put's two writes (or a pre-band-layout store):
+    // regenerate missing band batches before serving anything
+    reconcileBands()
+    // a crash BEFORE the stats swap: marker still present — replay the
     // rewrites from it (the stores may hold old, new, or mixed
     // signatures; the replay is idempotent either way)
     loadStatsFrom(statsNextPath).foreach(completeRefit)
   }
 
-  /** Remove documents by url (reference `Remove(id)`): anti-join
-    * rewrite into a TEMP directory, then an atomic directory swap —
-    * the read source is never the write target, so cache eviction or a
-    * mid-write crash cannot destroy the index (overwrite-in-place was
-    * the round-1 hazard). On HDFS/object stores this maps to a rename
-    * commit / Iceberg snapshot swap. */
+  /** Remove documents by url (reference `Remove(id)`): the url set is
+    * published to a pending-remove marker first (atomic rename), then
+    * both stores are rewritten through their swap commits (anti-join
+    * into a TEMP directory — the read source is never the write
+    * target), and the marker is dropped last. A crash anywhere is
+    * replayed idempotently by the next operation, so a removed doc can
+    * never be half-removed or resurrected by a later refit. On
+    * HDFS/object stores the swaps map to rename commits / Iceberg
+    * snapshot swaps. Publishing the marker also SNAPSHOTS the caller's
+    * url frame — the replay reads the parquet copy, immune to the
+    * caller's frame being nondeterministic. */
   def remove(urls: DataFrame): Unit = {
-    ensureRefitComplete()
-    val u = urls.select(col("url"))
+    ensureClean()
+    val tmp = s"$removePendingPath.tmp"
+    Fs.deleteIfExists(tmp, hconf)
+    urls.select(col("url")).write.mode("overwrite").parquet(tmp)
+    Fs.rename(tmp, removePendingPath, hconf)
+    completeRemove()
+  }
+
+  /** Replay/complete a pending remove from its marker. Idempotent. */
+  private def completeRemove(): Unit = {
+    val u = spark.read.parquet(removePendingPath).select(col("url"))
     if (!bandStore.isEmpty) {
-      // band rows first, FROM the still-intact signature store: a crash
-      // between the two rewrites leaves the removed docs bandless —
-      // unreachable by search, i.e. already effectively removed — and
-      // re-running the remove is idempotent. (The reverse order would
-      // leave dangling band rows that resurrect removed docs as
-      // candidates.)
+      // band rows first, FROM the still-intact signature store: if the
+      // replay itself crashes between the rewrites, the removed docs
+      // are bandless — unreachable by search — until the next replay
       val removedIds = store.all().join(u, Seq("url"), "left_semi")
         .select(col("doc_id"))
       bandStore.rewrite(_.join(removedIds, Seq("doc_id"), "left_anti"))
     }
     store.rewrite(_.join(u, Seq("url"), "left_anti"))
+    Fs.deleteIfExists(removePendingPath, hconf)
   }
 
   def all(): DataFrame = store.all()
@@ -310,9 +411,17 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // a crashed refit must never serve mixed state: stats in `stats`
     // with signatures already rewritten for `stats.refit` (or half the
     // batches re-signatured) would miss true duplicates silently
-    ensureRefitComplete()
+    ensureClean()
     import graft.lsh.Lsh
-    val q = signatures(pages, audit = false)
+    // pin the query signatures before the driver collects the pruning
+    // set from them: the stored-side partition filter and the verify
+    // join below both re-evaluate this frame, and a nondeterministic
+    // caller frame (sample, unordered limit) re-evaluated differently
+    // would probe partitions the filter already excluded — silent
+    // misses. localCheckpoint materializes one snapshot that every
+    // downstream plan reads (executor-local blocks: a lost executor
+    // fails the query loudly rather than serving a partial answer).
+    val q = signatures(pages, audit = false).localCheckpoint(true)
     val stored = all()
     def bands(df: DataFrame) = Lsh.explodeBands(df, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),

@@ -36,8 +36,6 @@ import graft.verify.Measures
  */
 object Ivf {
 
-  import graft.hash.HashKernels.mix64
-
   /**
    * Spherical k-means codebook over a deterministic bounded sample.
    * Sample = `sampleCap` rows in (xxhash64(id), id) order — stable

@@ -48,10 +48,13 @@ class IvfIndex(spark: SparkSession, path: String,
   private def loadBook(): Option[Array[Array[Double]]] = loadBookFrom(bookPath)
 
   /** Doc count the codebook at `p` was fitted on (rides as a sentinel
-    * cell −1 row, so book + size commit atomically in one parquet). */
-  private def fitSizeFrom(p: String): Long =
+    * cell −1 row, so book + size commit atomically in one parquet).
+    * None for a codebook written before the sentinel existed — such a
+    * book never auto-refits until a manual [[refit]] stamps it. */
+  private def fitSizeFrom(p: String): Option[Long] =
     spark.read.parquet(p).filter(col("cell") === -1)
-      .select("centroid").head().getSeq[Double](0)(0).toLong
+      .select("centroid").limit(1).collect().headOption
+      .map(_.getSeq[Double](0)(0).toLong)
 
   private def saveBookTo(p: String, cents: Array[Array[Double]],
                          nAtFit: Long): Unit = {
@@ -68,7 +71,15 @@ class IvfIndex(spark: SparkSession, path: String,
     val v = vecs.select(col("id").cast("long").as("id"), col("vec"))
     val book = loadBook().getOrElse {
       val b = Ivf.fitCentroids(v, "id", "vec", nCells, iters, sampleCap)
-      saveBookTo(bookPath, b, v.count())
+      // atomic first-fit publish (same reason as the refit path's
+      // marker): a crash mid-parquet-write must not leave a partial
+      // codebook that loadBook would silently read as fewer-than-nCells
+      // centroids. The row store is still empty here, so losing the fit
+      // loses nothing — the next put re-fits.
+      val tmp = s"$bookPath.tmp"
+      Fs.deleteIfExists(tmp, hconf)
+      saveBookTo(tmp, b, v.count())
+      Fs.rename(tmp, bookPath, hconf)
       b
     }
     v.select(
@@ -98,10 +109,10 @@ class IvfIndex(spark: SparkSession, path: String,
     * selectivity both degrade) and a refit runs as part of the put —
     * geometrically amortised, like capacity-doubling rehash. */
   private def maybeAutoRefit(): Unit =
-    if (autoRefitGrowth > 1.0 && Fs.exists(bookPath, hconf)) {
-      val n = store.all().count()
-      if (n >= autoRefitGrowth * fitSizeFrom(bookPath)) refit()
-    }
+    if (autoRefitGrowth > 1.0 && Fs.exists(bookPath, hconf))
+      fitSizeFrom(bookPath).foreach { atFit =>
+        if (store.all().count() >= autoRefitGrowth * atFit) refit()
+      }
 
   /** Remove by id: anti-join rewrite, atomic swap. */
   def remove(ids: DataFrame): Unit = {
@@ -158,9 +169,15 @@ class IvfIndex(spark: SparkSession, path: String,
     ensureRefitComplete()
     val book = loadBook().getOrElse(
       throw new IllegalStateException(s"empty IVF index at $path"))
-    val q = queries.select(col("id").cast("long").as("query_id"),
+    // pin the query frame before the driver collects the pruning set
+    // from it: the stored-side cell filter and the scoring join both
+    // re-evaluate it, and a nondeterministic caller frame (sample,
+    // unordered limit) re-evaluated differently would probe cells the
+    // filter already excluded — silent misses
+    val q0 = queries.select(col("id").cast("long").as("query_id"),
         col("vec").as("qv"))
-      .withColumn("cell", explode(Ivf.probe(col("qv"), book, nProbe)))
+      .localCheckpoint(true)
+    val q = q0.withColumn("cell", explode(Ivf.probe(col("qv"), book, nProbe)))
     // pruning set: distinct probed cells — domain-bounded collect
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val stored = store.all()
@@ -173,8 +190,7 @@ class IvfIndex(spark: SparkSession, path: String,
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = cands
-      .join(queries.select(col("id").cast("long").as("query_id"),
-        col("vec").as("qv")), "query_id")
+      .join(q0, "query_id")
       .join(stored.select("neighbor_id", "cv"), "neighbor_id")
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),

@@ -80,18 +80,25 @@ object TfIdf {
       applyIdf(docs, docIdCol, entriesCol, idf)
 
     def save(path: String): Unit = {
-      idf.write.mode("overwrite").parquet(s"$path/idf.parquet")
-      // manifest goes through the SAME filesystem the parquet landed on
-      // (Hadoop FS resolved from the path) — java.nio here would split
-      // the artifact across namespaces on a non-local default FS
-      graft.ckpt.Fs.writeStringAtomic(s"$path/model.json",
-        s"""{"numDocs":$numDocs}""",
-        idf.sparkSession.sparkContext.hadoopConfiguration)
+      val hconf = idf.sparkSession.sparkContext.hadoopConfiguration
+      // whole model dir built under a staging dir, then swap-committed
+      // (Fs.publishDir) — a crash mid-re-save must not leave the old
+      // manifest next to a partial payload. The manifest goes through
+      // the SAME filesystem the parquet landed on (Hadoop FS resolved
+      // from the path) — java.nio here would split the artifact across
+      // namespaces on a non-local default FS.
+      graft.ckpt.Fs.publishDir(path, hconf) { staging =>
+        idf.write.mode("overwrite").parquet(s"$staging/idf.parquet")
+        graft.ckpt.Fs.writeStringAtomic(s"$staging/model.json",
+          s"""{"numDocs":$numDocs}""", hconf)
+      }
     }
   }
 
   object TfIdfModel {
     def load(spark: org.apache.spark.sql.SparkSession, path: String): TfIdfModel = {
+      // complete a save() a crashed writer left mid-commit
+      graft.ckpt.Fs.recoverPublish(path, spark.sparkContext.hadoopConfiguration)
       val json = graft.ckpt.Fs.readString(s"$path/model.json",
         spark.sparkContext.hadoopConfiguration)
       val n = """"numDocs":(\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
