@@ -395,6 +395,28 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"))
     }),
 
+    // ---- deterministic content-keyed train/val/test split: same doc →
+    // same split on any run, cluster, or re-ingestion; md5 is
+    // SQL-portable so the oracle mirrors the arithmetic verbatim ----
+    "q_split" -> ((s, dir) => docs(s, dir).select(
+      col("doc_id"),
+      TrainingDataOps.hashSplitBucket(col("text"), 10).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 8, lit("train"))
+          .when(col("bucket") === 8, lit("val"))
+          .otherwise(lit("test")))),
+
+    // ---- benchmark decontamination: docs sharing an 8-token window
+    // with the (literal) benchmark set are flagged with their distinct
+    // hit count; the oracle re-derives the flag with substring search
+    // over the single-space-tokenised text ----
+    "q_decontam" -> ((s, dir) => {
+      import s.implicits._
+      val bench = decontamBench.toDF("bench_text")
+      TrainingDataOps.decontaminate(docs(s, dir), "doc_id", "text",
+        bench, "bench_text", n = 8)
+    }),
+
     // ---- LSH Forest prefix expansion (SURVEY H5): planted partner of
     // fingerprint i is i XOR 1 (1-2 flipped bits) → top-1 must be the
     // partner; generate_series oracle, same pattern as q_ann_lsh ----
@@ -749,9 +771,36 @@ object SparkEntry {
       "q_cos_near_dup" ->
         """SELECT (2*j)::BIGINT AS a_id, (2*j+1)::BIGINT AS b_id
           | FROM generate_series(0, 74) t(j)"""
-          .stripMargin.replace("\n", "")
+          .stripMargin.replace("\n", ""),
+
+      "q_split" ->
+        """SELECT doc_id,
+          | CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 10 AS bucket,
+          | CASE WHEN CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 10 < 8 THEN 'train'
+          |      WHEN CAST(concat('0x', substr(md5(text),1,8)) AS BIGINT) % 10 = 8 THEN 'val'
+          |      ELSE 'test' END AS split
+          | FROM documents""".stripMargin.replace("\n", ""),
+
+      "q_decontam" -> {
+        val hits = decontamBench.map(g =>
+          s"CASE WHEN strpos(' ' || text || ' ', ' $g ') > 0 " +
+            "THEN 1 ELSE 0 END").mkString(" + ")
+        val anyHit = decontamBench.map(g =>
+          s"strpos(' ' || text || ' ', ' $g ') > 0").mkString(" OR ")
+        s"SELECT doc_id, CAST($hits AS BIGINT) AS n_hits " +
+          s"FROM documents WHERE $anyHit"
+      }
     ) ++ goldenOracles
   }
+
+  /** The literal benchmark set q_decontam guards against — fixed
+    * 8-token windows drawn from the deterministic synthetic corpus so
+    * the flag is non-trivial at the correctness SF (each bench row is
+    * exactly one window; the operator itself shingles arbitrary-length
+    * benchmark docs). */
+  private val decontamBench: Seq[String] = Seq(
+    "key agg row scan slow fast table value",
+    "batch window vector hash fast part window the")
 
   /** Literal-table oracles for the deterministic hash-kernel queries
     * over the pinned fixture corpus. The values are goldens: computed

@@ -186,4 +186,52 @@ object TrainingDataOps {
       .filter(col("rank") <= k)
       .select($"query_id", $"neighbor_id", $"rank", round($"cos", 6).as("cos"))
   }
+
+  /** Deterministic hash-split bucket in [0, buckets): the first 8 hex
+    * chars of md5(content) as an integer, mod buckets. Content-keyed
+    * (not id-keyed), so a doc lands in the same split on every run, on
+    * any cluster, and across re-ingestions that re-id documents — the
+    * train/val/test assignment a training pipeline must be able to
+    * reproduce bit-for-bit. Per-row codegen'd expression, no shuffle,
+    * and SQL-portable (md5 is md5 everywhere — the DuckDB oracle mirrors
+    * it verbatim). */
+  def hashSplitBucket(content: Column, buckets: Int): Column =
+    conv(substring(md5(content), 1, 8), 16, 10).cast("long") % buckets
+
+  /** All n-token windows of a single-space-tokenised text, re-joined
+    * with single spaces — the literal-string shingles decontamination
+    * joins on. Empty array for docs shorter than n tokens. */
+  def tokenWindows(text: Column, n: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /**
+   * Benchmark decontamination: flag every document sharing at least one
+   * n-token window with the benchmark corpus (the eval-leakage check a
+   * training pipeline runs before a corpus ships). Returns
+   * (idCol, n_hits) for flagged docs only, n_hits = number of DISTINCT
+   * benchmark windows found in the doc.
+   *
+   * Scale shape: the benchmark side (eval suites — thousands of docs,
+   * not billions) collapses to its distinct windows and BROADCASTS; the
+   * corpus side streams through a codegen'd explode + broadcast-hash
+   * join + partial-aggregated count, so the 100 TB side never shuffles
+   * its windows. Matching is on the literal window string — no hash
+   * false positives on the flag that deletes training data.
+   */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    n: Int = 8): DataFrame = {
+    val bwin = bench
+      .select(explode(tokenWindows(col(benchTextCol), n)).as("__w"))
+      .distinct()
+    docs.select(col(idCol), explode(tokenWindows(col(textCol), n)).as("__w"))
+      .join(broadcast(bwin), Seq("__w"), "left_semi")
+      .groupBy(idCol)
+      .agg(countDistinct(col("__w")).as("n_hits"))
+  }
 }

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.ops.IvfIndex
+
+/**
+ * Streaming embedding ingestion — [[StreamingDedup]]'s shape for the
+ * vector side of the house: each micro-batch of (id, vec) rows is
+ * (1) searched against the IVF index built so far (an arriving
+ * embedding's near-duplicates surface immediately) and (2) appended.
+ * foreachBatch delivery is AT-LEAST-ONCE on failure/replay; the index
+ * write is effectively exactly-once because `putBatch` keys on the
+ * batchId (a replayed batch overwrites its own `batch=<id>` partition
+ * instead of duplicating rows — cell assignment is a pure function of
+ * the persisted codebook, so the replay is bit-identical).
+ *
+ * Scale shape: per micro-batch cost is O(batch) probe work plus a
+ * cell-pruned join against only the probed partitions of the stored
+ * index — never a full scan or recompute. With `autoRefitGrowth` set
+ * on the index, codebook reconditioning happens inside the put,
+ * geometrically amortised across the stream's lifetime.
+ */
+object StreamingAnnIngest {
+
+  /**
+   * Start the ingestion query.
+   * @param vecStream streaming DataFrame with (id, vec)
+   * @param indexPath IVF index location
+   * @param k         neighbours per query surfaced to `onMatches`
+   * @param onMatches callback per micro-batch with the new rows'
+   *                  neighbours (query_id, neighbor_id, rank)
+   */
+  def start(spark: SparkSession, vecStream: DataFrame, indexPath: String,
+            k: Int = 1, nCells: Int = 256, nProbe: Int = 8,
+            autoRefitGrowth: Double = 0.0,
+            onMatches: DataFrame => Unit = _ => ())
+  : StreamingQuery = {
+    val index = new IvfIndex(spark, indexPath, nCells = nCells,
+      nProbe = nProbe, autoRefitGrowth = autoRefitGrowth)
+    vecStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.cache()
+        try {
+          if (!index.isEmpty) onMatches(index.search(b, k))
+          index.putBatch(b, batchId)
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+  }
+}
