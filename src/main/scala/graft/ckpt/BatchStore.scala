@@ -35,6 +35,21 @@ final class BatchStore(spark: SparkSession, root: String,
   private def lockPath = s"$root.lock"
 
   Fs.recoverSwap(swapPath, root, hconf)
+  recoverBatchSwaps()
+
+  /** Complete any per-batch swap a crashed writer left mid-commit
+    * (leftover `.batch-<id>.tmp` staging dirs or `batch=<id>.old` aside
+    * copies) — one directory listing, no Spark job. */
+  private def recoverBatchSwaps(): Unit =
+    Fs.listNames(root, hconf).foreach { n =>
+      val leftover = "\\.batch-(\\d+)\\.(?:tmp|old)".r
+      n match {
+        case leftover(i) =>
+          Fs.recoverSwap(s"$root/.batch-$i.tmp", s"$root/batch=$i",
+            s"$root/.batch-$i.old", hconf)
+        case _ => ()
+      }
+    }
 
   /** Run `f` holding the store's single-writer lease (loud failure if
     * another writer holds it; stale leases broken after the TTL). */
@@ -54,10 +69,12 @@ final class BatchStore(spark: SparkSession, root: String,
   def isEmpty: Boolean = !Fs.exists(root, hconf)
 
   /** Ids of the batch partition directories currently in the store —
-    * one filesystem listing, no Spark job. */
+    * one filesystem listing, no Spark job. A committed batch dir is
+    * COMPLETE by construction (batch writes stage + swap, below), so
+    * presence in this listing means the batch is fully readable. */
   def batchIds(): Seq[Long] =
     Fs.listNames(root, hconf)
-      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=").toLong)
+      .filter(_.matches("batch=\\d+")).map(_.stripPrefix("batch=").toLong)
 
   def nextBatchId(): Long = {
     val ids = batchIds()
@@ -83,16 +100,32 @@ final class BatchStore(spark: SparkSession, root: String,
     withLease(writeBatchUnguarded(df, batchId))
 
   private def writeBatchUnguarded(df: DataFrame, batchId: Long): Unit = {
-    // subPartitionCols land as partition DIRECTORIES under the batch
-    // dir (batch=i/<col>=v/...), so reads filtered on them prune at
-    // the scan — the serving-index layout (see IncrementalIndex)
-    df.write.mode("overwrite").partitionBy(subPartitionCols: _*)
-      .parquet(s"$root/batch=$batchId")
+    // stage + swap: the parquet lands in a dot-prefixed staging dir
+    // (hidden from Spark's file listings) and is swap-committed into
+    // `batch=<id>` — a crash mid-write can never leave a PARTIAL batch
+    // dir that a read (or a batch-listing reconciler) would count as
+    // complete; interrupted swaps are finished by [[recoverBatchSwaps]]
+    // on the next open. subPartitionCols land as partition DIRECTORIES
+    // under the batch dir (batch=i/<col>=v/...), so reads filtered on
+    // them prune at the scan — the serving-index layout (see
+    // IncrementalIndex).
     if (!Fs.exists(schemaPath, hconf)) {
-      // full read-back schema = data columns + the dir-derived batch col
+      // full read-back schema = data columns + the dir-derived batch
+      // col; published BEFORE any data can exist under root, so a store
+      // root with only staging leftovers still reads as a schema-pinned
+      // empty frame
       val full = df.schema.add("batch", LongType, nullable = true)
       Fs.writeStringAtomic(schemaPath, full.json, hconf)
     }
+    val staging = s"$root/.batch-$batchId.tmp"
+    Fs.deleteIfExists(staging, hconf)
+    df.write.mode("overwrite").partitionBy(subPartitionCols: _*)
+      .parquet(staging)
+    // the aside is dot-prefixed (hidden) because it lives INSIDE the
+    // read root — a visible `batch=<id>.old` would be picked up by
+    // partition discovery during the swap window
+    Fs.swapInto(staging, s"$root/batch=$batchId",
+      s"$root/.batch-$batchId.old", hconf)
   }
 
   /** Every stored row (schema-pinned — works on an emptied store). */

@@ -70,10 +70,18 @@ object Fs {
     * had a window where `dst` was GONE while the only copy sat in the
     * swap dir: an `isEmpty` probe in that window read true and a
     * subsequent put silently started a fresh store over the orphan.) */
-  def swapInto(src: String, dst: String, conf: Configuration): Unit = {
+  def swapInto(src: String, dst: String, conf: Configuration): Unit =
+    swapInto(src, dst, dst + ".old", conf)
+
+  /** [[swapInto]] with an explicit aside path — needed when `dst` sits
+    * INSIDE a directory Spark reads (a `batch=<id>` partition dir): the
+    * default `<dst>.old` aside would be visible to partition discovery
+    * during the swap window, so callers pass a dot-prefixed (hidden)
+    * aside instead. */
+  def swapInto(src: String, dst: String, aside: String, conf: Configuration): Unit = {
     val fs = fileSystem(dst, conf)
     val s = new HPath(src); val d = new HPath(dst)
-    val old = new HPath(dst + ".old")
+    val old = new HPath(aside)
     if (fs.exists(old)) fs.delete(old, true) // stale aside from a prior crash
     if (fs.exists(d) && !fs.rename(d, old))
       throw new java.io.IOException(s"swap aside rename failed: $d -> $old")
@@ -94,10 +102,14 @@ object Fs {
     * dropped. A leftover swap dir next to an intact `dst` is left alone:
     * it may be a concurrent writer's in-progress rewrite (the writer's
     * own overwrite mode reclaims abandoned ones). */
-  def recoverSwap(src: String, dst: String, conf: Configuration): Unit = {
+  def recoverSwap(src: String, dst: String, conf: Configuration): Unit =
+    recoverSwap(src, dst, dst + ".old", conf)
+
+  /** [[recoverSwap]] for a swap committed with an explicit aside. */
+  def recoverSwap(src: String, dst: String, aside: String, conf: Configuration): Unit = {
     val fs = fileSystem(dst, conf)
     val s = new HPath(src); val d = new HPath(dst)
-    val old = new HPath(dst + ".old")
+    val old = new HPath(aside)
     if (!fs.exists(d)) {
       if (fs.exists(s)) {
         if (!fs.rename(s, d) && !fs.exists(d))
@@ -129,6 +141,23 @@ object Fs {
     * by loaders before reading (cheap existence probes when clean). */
   def recoverPublish(path: String, conf: Configuration): Unit =
     recoverSwap(path + ".swap", path, conf)
+
+  /** Publish a directory artifact by plain rename: `write(staging)`
+    * builds it under a sibling temp dir, any stale `path` is dropped,
+    * and the staging renamed into place — a crash anywhere leaves
+    * either no artifact or the COMPLETE new one, never a partial dir a
+    * reader would load silently. For artifacts whose absence is
+    * recoverable (first-fit stats/codebooks — the row store is still
+    * empty, the next put re-fits; refit/remove intent markers — the
+    * mutation simply never happened). Use [[publishDir]] instead when
+    * the OLD artifact must survive a crashed re-publish. */
+  def publishByRename(path: String, conf: Configuration)(write: String => Unit): Unit = {
+    val staging = path + ".tmp"
+    deleteIfExists(staging, conf)
+    write(staging)
+    deleteIfExists(path, conf)
+    rename(staging, path, conf)
+  }
 
   /** Atomically create `path` (failing if it already exists) — the
     * claim primitive for single-writer leases. Returns true iff this

@@ -114,12 +114,8 @@ class IncrementalIndex(spark: SparkSession, path: String,
       // atomic first-fit publish: a crash mid-parquet-write must not
       // leave a partial stats dir that loadStats would silently read
       // (the store is still empty here, so losing the fit loses nothing
-      // — the next put simply re-fits). Rename into a non-existent dst
-      // fails loudly if a partial dir somehow survived.
-      val tmp = s"$statsPath.tmp"
-      Fs.deleteIfExists(tmp, hconf)
-      saveStatsTo(tmp, st)
-      Fs.rename(tmp, statsPath, hconf)
+      // — the next put simply re-fits)
+      Fs.publishByRename(statsPath, hconf)(saveStatsTo(_, st))
       st
     }
     DedupPipeline.applySignatures(tfd, stats, cfg, keepTf = true)
@@ -135,6 +131,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * documents in every later search. */
   def put(pages: DataFrame): Unit = {
     ensureClean()
+    reconcileBands()
     val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -176,6 +173,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * halves (signatures + band rows) key on the same batch id. */
   def putBatch(pages: DataFrame, batchId: Long): Unit = {
     ensureClean()
+    reconcileBands()
     val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -188,10 +186,11 @@ class IncrementalIndex(spark: SparkSession, path: String,
   /** Reconcile the band layout to the signature store: regenerate the
     * band rows of any stored batch missing from the band store. Covers
     * (a) a crash between a put's two writes — the signature batch
-    * landed, its band rows did not, and the pruned search would
-    * silently never serve it; (b) an index written before the band
-    * layout existed — one put/search upgrades it in place instead of
-    * serving only post-upgrade batches. Cost when consistent (always,
+    * landed, its band rows did not; (b) an index written before the
+    * band layout existed — one put upgrades it in place. Runs on the
+    * MUTATION paths only (it takes the band store's writer lease);
+    * [[search]] stays read-only by serving missing batches from band
+    * rows computed in-plan instead. Cost when consistent (always,
     * outside those two cases): two directory listings, no Spark job.
     * Band rows are DERIVED data (pure function of stored minhashes), so
     * regeneration is idempotent and crash-safe to replay. */
@@ -311,14 +310,10 @@ class IncrementalIndex(spark: SparkSession, path: String,
       "this index predates the refit-capable layout (no stored tf " +
         "column) — rebuild it with put() to enable refit")
     val newStats = DedupPipeline.fitCorpusStats(all, cfg)
-    // the marker publish is itself atomic (temp dir + rename): a crash
-    // DURING the parquet write must not leave a half-written marker
-    // that ensureRefitComplete would then try to replay from
-    val tmp = s"$statsNextPath.tmp"
-    Fs.deleteIfExists(tmp, hconf)
-    saveStatsTo(tmp, newStats)
-    Fs.deleteIfExists(statsNextPath, hconf)
-    Fs.rename(tmp, statsNextPath, hconf)
+    // the marker publish is itself atomic: a crash DURING the parquet
+    // write must not leave a half-written marker that ensureClean
+    // would then try to replay from
+    Fs.publishByRename(statsNextPath, hconf)(saveStatsTo(_, newStats))
     completeRefit(newStats)
   }
 
@@ -350,9 +345,6 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // a crash DURING the final stats swap: complete the swap itself
     Fs.recoverSwap(statsNextPath, statsPath, hconf)
     if (Fs.exists(removePendingPath, hconf)) completeRemove()
-    // a crash between a put's two writes (or a pre-band-layout store):
-    // regenerate missing band batches before serving anything
-    reconcileBands()
     // a crash BEFORE the stats swap: marker still present — replay the
     // rewrites from it (the stores may hold old, new, or mixed
     // signatures; the replay is idempotent either way)
@@ -372,10 +364,8 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * caller's frame being nondeterministic. */
   def remove(urls: DataFrame): Unit = {
     ensureClean()
-    val tmp = s"$removePendingPath.tmp"
-    Fs.deleteIfExists(tmp, hconf)
-    urls.select(col("url")).write.mode("overwrite").parquet(tmp)
-    Fs.rename(tmp, removePendingPath, hconf)
+    Fs.publishByRename(removePendingPath, hconf)(
+      urls.select(col("url")).write.mode("overwrite").parquet(_))
     completeRemove()
   }
 
@@ -441,7 +431,21 @@ class IncrementalIndex(spark: SparkSession, path: String,
         // collect is bounded by the pb DOMAIN (bands·bandBuckets),
         // a config constant, regardless of query or index size
         val pbs = qb.select("pb").distinct().collect().map(_.getInt(0))
-        bandStore.all()
+        // read-only repair: a batch whose band rows never landed (a put
+        // crashed between its two writes) is served from band rows
+        // computed in-plan from its signatures — search never takes the
+        // band store's writer lease; the durable backfill happens on
+        // the next mutation (reconcileBands). Only the crashed batch
+        // pays an unpruned scan, and only until then.
+        val have = bandStore.batchIds().toSet
+        val missing = store.batchIds().filterNot(have)
+        val storedBands0 = bandStore.all().select("pb", "key", "doc_id")
+        val storedBands =
+          if (missing.isEmpty) storedBands0
+          else storedBands0.unionByName(
+            bandRows(stored.filter(
+              col("batch").isin(missing.map(Long.box): _*))))
+        storedBands
           .filter(col("pb").isin(pbs.map(Int.box).toSeq: _*))
           .select(col("doc_id").as("sid"), col("pb"), col("key"))
           .join(qb, Seq("pb", "key"))

@@ -70,16 +70,20 @@ class IvfIndex(spark: SparkSession, path: String,
   private def assigned(vecs: DataFrame): DataFrame = {
     val v = vecs.select(col("id").cast("long").as("id"), col("vec"))
     val book = loadBook().getOrElse {
-      val b = Ivf.fitCentroids(v, "id", "vec", nCells, iters, sampleCap)
+      val n = v.count()
+      // a first batch smaller than nCells fits a book as small as the
+      // data (probe clamps nProbe to the book) instead of refusing —
+      // the streaming-ingest case, where batch one is a second of
+      // traffic; with autoRefitGrowth set, later growth refits the book
+      // back toward the configured nCells
+      val eff = math.max(1L, math.min(nCells.toLong, n)).toInt
+      val b = Ivf.fitCentroids(v, "id", "vec", eff, iters, sampleCap)
       // atomic first-fit publish (same reason as the refit path's
       // marker): a crash mid-parquet-write must not leave a partial
       // codebook that loadBook would silently read as fewer-than-nCells
       // centroids. The row store is still empty here, so losing the fit
       // loses nothing — the next put re-fits.
-      val tmp = s"$bookPath.tmp"
-      Fs.deleteIfExists(tmp, hconf)
-      saveBookTo(tmp, b, v.count())
-      Fs.rename(tmp, bookPath, hconf)
+      Fs.publishByRename(bookPath, hconf)(saveBookTo(_, b, n))
       b
     }
     v.select(
@@ -136,12 +140,12 @@ class IvfIndex(spark: SparkSession, path: String,
     require(!isEmpty, "refit() on an empty index")
     ensureRefitComplete()
     val all = store.all()
-    val book = Ivf.fitCentroids(all, "id", "vec", nCells, iters, sampleCap)
-    val tmp = s"$bookNextPath.tmp"
-    Fs.deleteIfExists(tmp, hconf)
-    saveBookTo(tmp, book, all.count())
-    Fs.deleteIfExists(bookNextPath, hconf)
-    Fs.rename(tmp, bookNextPath, hconf)
+    val n = all.count()
+    // same small-corpus clamp as the first fit: the book grows back
+    // toward the configured nCells as the stored corpus does
+    val eff = math.max(1L, math.min(nCells.toLong, n)).toInt
+    val book = Ivf.fitCentroids(all, "id", "vec", eff, iters, sampleCap)
+    Fs.publishByRename(bookNextPath, hconf)(saveBookTo(_, book, n))
     completeRefit(book)
   }
 

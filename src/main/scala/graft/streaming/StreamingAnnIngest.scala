@@ -15,11 +15,18 @@ import graft.ops.IvfIndex
  * instead of duplicating rows — cell assignment is a pure function of
  * the persisted codebook, so the replay is bit-identical).
  *
+ * The codebook is fitted on the FIRST micro-batch, which on a stream
+ * is one trigger's worth of traffic — usually far fewer rows than a
+ * production `nCells`. The index clamps the first fit to the batch
+ * size (probe clamps nProbe to the book), and `autoRefitGrowth`
+ * defaults ON here (4×, unlike the batch-index default of off) so the
+ * book grows back toward `nCells` as the stream accretes — without it
+ * the first second of traffic would pin cell geometry forever.
+ *
  * Scale shape: per micro-batch cost is O(batch) probe work plus a
  * cell-pruned join against only the probed partitions of the stored
- * index — never a full scan or recompute. With `autoRefitGrowth` set
- * on the index, codebook reconditioning happens inside the put,
- * geometrically amortised across the stream's lifetime.
+ * index — never a full scan or recompute; refits amortise
+ * geometrically across the stream's lifetime.
  */
 object StreamingAnnIngest {
 
@@ -33,7 +40,7 @@ object StreamingAnnIngest {
    */
   def start(spark: SparkSession, vecStream: DataFrame, indexPath: String,
             k: Int = 1, nCells: Int = 256, nProbe: Int = 8,
-            autoRefitGrowth: Double = 0.0,
+            autoRefitGrowth: Double = 4.0,
             onMatches: DataFrame => Unit = _ => ())
   : StreamingQuery = {
     val index = new IvfIndex(spark, indexPath, nCells = nCells,

@@ -27,7 +27,8 @@ class Round4HardeningSpec extends AnyFunSuite with SparkSpec {
   // ---- band-layout reconciliation ----
 
   test("a put whose band write crashed (signature batch present, band " +
-    "batch missing) is reconciled before the next search serves") {
+    "batch missing) still serves: search repairs READ-ONLY in-plan, the " +
+    "next mutation backfills durably") {
     import spark.implicits._
     val dir = s"${freshDir()}/idx"
     val idx = new graft.ops.IncrementalIndex(spark, dir)
@@ -40,7 +41,67 @@ class Round4HardeningSpec extends AnyFunSuite with SparkSpec {
     val m = idx.search(Seq(("q", near)).toDF("url", "text"))
       .select("match_url").as[String].collect().toSet
     assert(m === Set("u2"),
-      "the reconciled band layout must serve the half-written batch")
+      "search must serve the half-written batch from in-plan band rows")
+    // search is read-only: it must NOT have taken the writer lease to
+    // backfill the missing batch dir
+    assert(!Fs.exists(s"$dir/bands/batch=1", hconf),
+      "search must not mutate the band store")
+    // the next mutation reconciles durably
+    idx.put(Seq(("u3", doc("cc"))).toDF("url", "text"))
+    assert(Fs.exists(s"$dir/bands/batch=1", hconf),
+      "put must backfill the missing band batch")
+    val m2 = idx.search(Seq(("q", near)).toDF("url", "text"))
+      .select("match_url").as[String].collect().toSet
+    assert(m2 === Set("u2"))
+  }
+
+  test("BatchStore batch writes are staged + swap-committed: a crashed " +
+    "write leaves no partial batch dir, and leftover staging/aside dirs " +
+    "are recovered on open, invisible to reads") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val st = new graft.ckpt.BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // a crash DURING a later batch write leaves only a staging dir —
+    // fabricate one with junk content
+    Fs.mkdirs(s"$root/.batch-1.tmp", hconf)
+    Fs.writeStringAtomic(s"$root/.batch-1.tmp/garbage", "not parquet", hconf)
+    // reads ignore the dot-dir; the batch listing does not count it
+    assert(st.all().count() === 2L)
+    assert(st.batchIds().toSet === Set(0L))
+    // a crash mid-swap (aside renamed, commit rename not yet done):
+    // only .batch-0.old + .batch-0.tmp exist — open restores service
+    val rows = st.all().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    Fs.deleteIfExists(s"$root/.batch-1.tmp", hconf)
+    Fs.rename(s"$root/batch=0", s"$root/.batch-0.old", hconf)
+    val st2 = new graft.ckpt.BatchStore(spark, root)
+    assert(st2.batchIds().toSet === Set(0L), "aside copy restored on open")
+    assert(st2.all().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === rows)
+  }
+
+  test("StreamingAnnIngest defaults survive a first micro-batch smaller " +
+    "than nCells: the codebook clamps to the data and grows back via " +
+    "the default auto-refit") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sann2").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingAnnIngest.start(
+      spark, stream.toDF().toDF("id", "vec"), tmp) // nCells=256 default
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 64).toSeq
+    stream.addData((0L until 10L).map(i => (i, vec(i))): _*)   // 10 < 256
+    q.processAllAvailable()
+    stream.addData((10L until 60L).map(i => (i, vec(i))): _*)  // 6x growth
+    q.processAllAvailable()
+    q.stop()
+    val idx = new graft.ops.IvfIndex(spark, tmp, nCells = 256, nProbe = 8)
+    assert(idx.all().count() === 60L)
+    // post-refit book is corpus-sized (60 < 256 cells), search works
+    val got = idx.search(Seq((999L, vec(2L))).toDF("id", "vec"), 1)
+      .as[(Long, Long, Int)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet === Set((999L, 2L)))
   }
 
   test("a pre-band-layout store (no bands dir at all) is upgraded in " +
