@@ -34,6 +34,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true") // skew backstop
+      // make AQE coalescing size post-shuffle partitions by BYTES:
+      // Spark's parallelismFirst=true default keeps tiny shuffles at
+      // full width "to maximise parallelism", which on the 300-doc
+      // fixture queries pays 56 jobs × 32 near-empty tasks of fixed
+      // scheduling overhead (~25% of the fixture wall, measured via
+      // ProfileDedup A/B); at the 374.6k-doc dedup scale every real
+      // exchange is ≥ the advisory, so coalescing is a no-op there
+      // (min-of-5 A/B: 32.3 s vs 35.1 s, within window noise). A real
+      // cluster would raise the advisory to 64-128 MB.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "16m"))
       // at production scale the corpus-side joins are shuffle joins (no
       // corpus table fits the broadcast threshold); a high threshold at
       // bench scale would instead serialise them into driver-side

@@ -135,8 +135,17 @@ object SyntheticPages {
     val total = n.toLong + nExact + nNear + nSub
     val spec = GenSpec(n, nExact, nNear, nSub, (boilerFrac * 1000).toInt)
 
-    val pagesDf = spark.range(0, total,
-        1, spark.sparkContext.defaultParallelism)
+    // slice count sized by the DATA, capped by the session parallelism:
+    // a 300-doc fixture at 32 slices pays ~56 jobs × 32 near-empty
+    // tasks of fixed scheduling overhead through the whole downstream
+    // pipeline (measured: most of q_dedup_clusters' 14 s bench floor),
+    // exactly as a parquet read of 300 docs would never produce 32
+    // splits. Results are slice-count-independent: every field is a
+    // pure function of the row id, df counts are integer sums, and
+    // signatures are per-row.
+    val slices = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, total / 100)).toInt
+    val pagesDf = spark.range(0, total, 1, slices)
       .as[Long].map(row => SyntheticPages.pageOf(spec, row)).toDF()
 
     val pairs =
