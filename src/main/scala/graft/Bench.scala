@@ -20,8 +20,37 @@ object Bench {
 
   /** Shuffle partitions track the active core count (1×cores), the
     * standard local-mode sizing — measured faster than any fixed
-    * partition count at both parallelism levels on this corpus. */
+    * partition count at both parallelism levels on this corpus.
+    *
+    * Lifecycle hardening (round-4 driver artifact, rc=124): a crashed
+    * attempt can leave a STOPPED SparkContext registered as the
+    * active/default session, and `getOrCreate()` then hands that dead
+    * session back to EVERY later attempt ("Cannot call methods on a
+    * stopped SparkContext" ×5 at cores=8 in BENCH_r04, burning the
+    * level's whole attempt cap on one crash). Stale stopped sessions
+    * are cleared before building, and a stopped context coming out of
+    * the builder is cleared and rebuilt once before failing loudly. */
   private[graft] def session(cores: Int, partitions: Int): SparkSession = {
+    def clearStopped(): Unit = {
+      if (SparkSession.getActiveSession.exists(_.sparkContext.isStopped))
+        SparkSession.clearActiveSession()
+      if (SparkSession.getDefaultSession.exists(_.sparkContext.isStopped))
+        SparkSession.clearDefaultSession()
+    }
+    clearStopped()
+    var s = build(cores, partitions)
+    if (s.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      s = build(cores, partitions)
+    }
+    require(!s.sparkContext.isStopped,
+      s"builder returned a stopped SparkContext twice at cores=$cores")
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def build(cores: Int, partitions: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
@@ -64,7 +93,6 @@ object Bench {
         else System.getProperty("java.io.tmpdir", "/tmp")
       }))
       .getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
     s
   }
 
@@ -180,6 +208,21 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // ---- total wall guard (round-4 driver artifact: rc=124) ----
+    // The replenish-to-clean-target rule has no intrinsic upper bound
+    // tighter than the attempt caps, and in a hostile host window that
+    // let the round-4 run outgrow the driver's wall budget — the JSON
+    // line printed only as the driver killed the process. The bench now
+    // tracks its own wall from main() entry: once elapsed + the
+    // scheduled attempt's estimated cost would cross the budget, no
+    // further replenish attempts are scheduled (a level's FIRST attempt
+    // always runs — the artifact needs one sample per level to exist)
+    // and the best honest record ships with `wall_guard_tripped` set.
+    val wallStart = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
+    val wallBudget = sys.env.get("SPARK_GRAFT_BENCH_WALL_SEC")
+      .map(_.toDouble).getOrElse(1800.0)
+    var wallTripped = false
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus4N = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors.min(32))
@@ -194,14 +237,27 @@ object Bench {
     var globalBestMeanBw = 0.0
     // ---- absolute cross-run bandwidth reference (sidecar file) ----
     // Best-ever in-run canary mean this host has recorded, persisted
-    // across runs so a uniformly-depressed session cannot lower its own
-    // bar. Seeded at 55 GB/s: the idle 8-thread canary's clean range on
-    // this host is ~60-100 GB/s and the *in-run* mean (depressed by the
-    // measured job's traffic) has been observed at ~45-70 in clean
-    // windows vs 11-35 in degraded ones. Capped at 70 so one freak
-    // reading can never permanently raise the bar past reachable-clean.
-    val bwRefSeed = 55.0
-    val bwRefCap = 70.0
+    // across runs (per-host state, gitignored — a committed value from
+    // one host would gate a slower host against bars it can never
+    // reach) so a uniformly-depressed session cannot lower its own bar.
+    // The SEED is derived from an idle canary calibration at startup —
+    // no Spark job is running yet, so the reading is the host's own
+    // ceiling: the *in-run* mean (depressed by the measured job's
+    // traffic) has been observed at ~0.6-0.9× idle in clean windows on
+    // this host, hence the 0.85 factor. The seed is clamped to the
+    // proven-reachable 55 on fast hosts (idle here reads 60-100 GB/s
+    // clean; a freak reading must not set an unreachable bar), and a
+    // degraded STARTUP window can only lower the seed, never the
+    // persisted reference (max-merge below).
+    canaryGbps() // canary JIT warmup — first reading is cold
+    val idleBw = (1 to 3).map(_ => canaryGbps()).max
+    val bwRefSeed = math.min(55.0, 0.85 * idleBw)
+    // learning cap: one freak in-run reading can never permanently
+    // raise the bar past reachable-clean; never BELOW 70 so a degraded
+    // startup cannot clamp down a previously learned reference
+    val bwRefCap = math.max(70.0, 0.85 * idleBw)
+    System.err.println(f"[bench] idle canary $idleBw%.0f GB/s -> " +
+      f"bw-ref seed $bwRefSeed%.0f (cap $bwRefCap%.0f)")
     val bwRefPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BW_REF", "bench-bw-ref.txt"))
     val bwRef: Double = (try {
@@ -255,7 +311,11 @@ object Bench {
         // contention only ever inflates a wall time, so the fastest
         // sample of each query is the most faithful one and extra
         // passes can only improve the artifact
-        while (queryPhases < maxQueryPhases && !queryClean) {
+        // retry passes stop once the query phase has spent 30% of the
+        // total wall budget (the first pass always runs) — the dedup
+        // levels are the artifact's load-bearing half
+        while (queryPhases < maxQueryPhases && !queryClean &&
+               (queryPhases == 0 || elapsedSec < 0.3 * wallBudget)) {
           val bwSamples =
             new java.util.concurrent.CopyOnWriteArrayList[java.lang.Double]()
           @volatile var sampling = true
@@ -399,9 +459,23 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] cores=$cores attempt=${attempts + 1} " +
               s"FAILED: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(160)}")
+            // tear the wreck down so the NEXT attempt starts from a
+            // fresh context instead of inheriting a stopped one
+            // (session() also defends at build time; this just stops
+            // the crashed context's threads promptly)
+            try SparkSession.getActiveSession.foreach(_.stop())
+            catch { case _: Throwable => () }
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
         }
         attempts += 1
       }
+      /** Estimated cost of one more attempt at this level, for the wall
+        * guard: the fastest sample so far ×1.3 (retries usually run in
+        * worse windows) + fixed prep overhead. */
+      def estAttemptSec: Double =
+        if (samples.isEmpty) 0.0
+        else samples.map(_._2).min * 1.3 + 30.0
       def pick: (Long, Double, Double, Double, Int, Int) = {
         require(samples.nonEmpty, s"all $attempts dedup attempts failed at cores=$cores")
         val (n, sec, steal, bw) = samples.minBy(_._2)
@@ -432,7 +506,19 @@ object Bench {
     while (ran) {
       ran = false
       levels.foreach { l =>
-        if (l.wantsRun) { l.attempt(sfDir, synthetic); ran = true }
+        if (l.wantsRun) {
+          // wall guard: a level's FIRST attempt always runs (pick()
+          // needs one sample to exist); replenish attempts only while
+          // the estimated cost still fits the budget
+          if (l.samples.isEmpty || elapsedSec + l.estAttemptSec <= wallBudget) {
+            l.attempt(sfDir, synthetic); ran = true
+          } else {
+            wallTripped = true
+            System.err.println(f"[bench] WALL GUARD: skipping replenish at " +
+              f"cores=${l.cores} (elapsed $elapsedSec%.0f s + est " +
+              f"${l.estAttemptSec}%.0f s > budget $wallBudget%.0f s)")
+          }
+        }
       }
     }
     // ---- monotonicity guard (round-3 verdict item #1b) ----
@@ -450,7 +536,12 @@ object Bench {
         b.pickSec >= a.pickSec => (a, b)
     }.toSeq
     var inversionRetries = 0
-    while (invertedPairs.nonEmpty && inversionRetries < 3) {
+    while (invertedPairs.nonEmpty && inversionRetries < 3 &&
+           // inversion retries respect the wall budget too (estimated
+           // by the slower suspect) — a surviving inversion is recorded
+           // loudly rather than chased past the driver's clock
+           elapsedSec + invertedPairs.flatMap(p => Seq(p._1, p._2))
+             .map(_.estAttemptSec).max <= wallBudget) {
       inversionRetries += 1
       val suspects = invertedPairs.flatMap(p => Seq(p._1, p._2)).distinct
       suspects.foreach { l =>
@@ -459,6 +550,7 @@ object Bench {
         l.attempt(sfDir, synthetic)
       }
     }
+    if (invertedPairs.nonEmpty && inversionRetries < 3) wallTripped = true
     val levelInversion = invertedPairs.nonEmpty
     // persist the learned reference (max-merge, capped): a later run in
     // a depressed window then gates against the best this host has ever
@@ -517,6 +609,23 @@ object Bench {
       s""""bw_ref_out":${"%.1f".format(bwRefOut)},""" +
       s""""level_inversion":$levelInversion,""" +
       s""""inversion_retries":$inversionRetries,""" +
+      s""""bw_idle":${"%.1f".format(idleBw)},""" +
+      s""""wall_sec":${"%.0f".format(elapsedSec)},""" +
+      s""""wall_budget_sec":${"%.0f".format(wallBudget)},""" +
+      s""""wall_guard_tripped":$wallTripped,""" +
       s""""scaling_efficiency":${"%.3f".format(eff)}}}""")
+    System.out.flush()
+    // exit hardening: a crashed attempt can leave non-daemon threads (or
+    // a hung Spark shutdown hook) that keep the forked JVM alive after
+    // main() returns — the round-4 driver run printed its JSON line and
+    // STILL recorded rc=124. Exit explicitly once the artifact is out,
+    // with a hard halt backstop should a shutdown hook itself hang.
+    val halter = new Thread(() => {
+      try Thread.sleep(30000) catch { case _: InterruptedException => () }
+      Runtime.getRuntime.halt(0)
+    })
+    halter.setDaemon(true)
+    halter.start()
+    sys.exit(0)
   }
 }
