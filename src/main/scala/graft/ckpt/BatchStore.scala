@@ -33,6 +33,47 @@ final class BatchStore(spark: SparkSession, root: String,
   private def schemaPath = s"$root.schema.json"
   private def swapPath = s"$root.swap"
   private def lockPath = s"$root.lock"
+  private def rowsPath = s"$root.rows"
+
+  // ---- running row-count manifest (`<root>.rows`, "batchId count"
+  // lines) ---- callers polling store size per mutation (the indexes'
+  // growth-triggered auto-refit) read this tiny sibling file instead of
+  // counting the store: a full-store count lists and foots every batch
+  // dir of a 10^9-row store on every streaming micro-batch. The
+  // manifest is advisory state rebuilt from the data whenever its batch
+  // set disagrees with the directory listing (legacy stores, crash
+  // windows, post-rewrite) — it can be deleted at any time.
+  private def readRowCounts(): Map[Long, Long] =
+    if (!Fs.exists(rowsPath, hconf)) Map.empty
+    else try {
+      Fs.readString(rowsPath, hconf).split("\n").iterator
+        .map(_.trim).filter(_.nonEmpty).map { l =>
+          val Array(a, b) = l.split(" "): @unchecked
+          a.toLong -> b.toLong
+        }.toMap
+    } catch { case _: Exception => Map.empty } // malformed = absent
+
+  private def writeRowCounts(m: Map[Long, Long]): Unit =
+    Fs.writeStringAtomic(rowsPath,
+      m.toSeq.sorted.map { case (k, v) => s"$k $v" }.mkString("\n"), hconf)
+
+  /** Total stored rows. No Spark job when the manifest covers the
+    * current batch set (one small file read); a missing or stale
+    * manifest is rebuilt with ONE grouped count job and persisted. */
+  def rowCount(): Long = {
+    val ids = batchIds().toSet
+    if (ids.isEmpty) 0L
+    else {
+      val m = readRowCounts()
+      if (m.keySet == ids) m.values.sum
+      else {
+        val counts = all().groupBy("batch").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        writeRowCounts(counts)
+        counts.values.sum
+      }
+    }
+  }
 
   Fs.recoverSwap(swapPath, root, hconf)
   recoverBatchSwaps()
@@ -52,18 +93,57 @@ final class BatchStore(spark: SparkSession, root: String,
     }
 
   /** Run `f` holding the store's single-writer lease (loud failure if
-    * another writer holds it; stale leases broken after the TTL). */
+    * another writer holds it; stale leases broken after the TTL).
+    *
+    * Break-race hardening: two writers blocked on one stale lease can
+    * both read the stale mtime and interleave delete/create so the
+    * slower delete removes the faster writer's FRESH lock. The claim is
+    * therefore verified by re-reading the lock content after the
+    * create — a claimant whose unique token is no longer in the file
+    * lost the race and fails loudly instead of mutating concurrently.
+    * A heartbeat daemon refreshes the lock mtime at ttl/4 while `f`
+    * runs, so a legitimate mutation longer than the TTL (a full-store
+    * rewrite at 10^9 rows) is not broken as stale mid-hold. */
   def withLease[T](f: => T): T = {
     Fs.modifiedMs(lockPath, hconf).foreach { ts =>
-      if (System.currentTimeMillis() - ts > leaseTtlMs)
+      // re-read right before the delete: narrows (not closes — the
+      // ownership verify below is the real guard) the window where two
+      // breakers act on one stale reading
+      if (System.currentTimeMillis() - ts > leaseTtlMs &&
+          Fs.modifiedMs(lockPath, hconf).exists(t2 =>
+            System.currentTimeMillis() - t2 > leaseTtlMs))
         Fs.deleteIfExists(lockPath, hconf) // break a crashed writer's lease
     }
-    if (!Fs.createExclusive(lockPath, System.currentTimeMillis().toString, hconf))
+    val token = s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
+    if (!Fs.createExclusive(lockPath, token, hconf))
       throw new java.io.IOException(
         s"BatchStore at $root: another writer holds the lease ($lockPath) — " +
         s"concurrent mutation is single-writer by contract; a crashed " +
         s"holder's lease expires after ${leaseTtlMs / 1000} s")
-    try f finally Fs.deleteIfExists(lockPath, hconf)
+    val owned =
+      try Fs.readString(lockPath, hconf) == token
+      catch { case _: java.io.IOException => false }
+    if (!owned)
+      throw new java.io.IOException(
+        s"BatchStore at $root: lost the stale-lease break race for " +
+        s"$lockPath — another writer claimed it concurrently")
+    @volatile var beating = true
+    val beat = new Thread(() => {
+      val interval = math.max(1000L, leaseTtlMs / 4)
+      while (beating) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (beating) Fs.touch(lockPath, hconf)
+      }
+    })
+    beat.setDaemon(true)
+    beat.start()
+    try f finally {
+      beating = false
+      beat.interrupt()
+      beat.join(1000)
+      Fs.deleteIfExists(lockPath, hconf)
+    }
   }
 
   def isEmpty: Boolean = !Fs.exists(root, hconf)
@@ -121,11 +201,20 @@ final class BatchStore(spark: SparkSession, root: String,
     Fs.deleteIfExists(staging, hconf)
     df.write.mode("overwrite").partitionBy(subPartitionCols: _*)
       .parquet(staging)
+    // staged-batch row count for the running manifest: an O(batch)
+    // count over the just-written staging parquet (metadata-weight),
+    // never an O(store) listing. The entry is DROPPED before the swap
+    // and re-added after: a crash inside the window leaves a missing
+    // entry (self-healed by one recount in rowCount()) instead of a
+    // silently stale count.
+    val n = spark.read.parquet(staging).count()
+    writeRowCounts(readRowCounts() - batchId)
     // the aside is dot-prefixed (hidden) because it lives INSIDE the
     // read root — a visible `batch=<id>.old` would be picked up by
     // partition discovery during the swap window
     Fs.swapInto(staging, s"$root/batch=$batchId",
       s"$root/.batch-$batchId.old", hconf)
+    writeRowCounts(readRowCounts() + (batchId -> n))
   }
 
   /** Every stored row (schema-pinned — works on an emptied store). */
@@ -143,6 +232,10 @@ final class BatchStore(spark: SparkSession, root: String,
   def rewrite(f: DataFrame => DataFrame): Unit = withLease {
     f(all()).write.mode("overwrite")
       .partitionBy(("batch" +: subPartitionCols): _*).parquet(swapPath)
+    // the rewrite changes per-batch counts (anti-join removes rows):
+    // invalidate the manifest before the swap — rowCount() rebuilds it
+    // lazily from the new data on its next call
+    Fs.deleteIfExists(rowsPath, hconf)
     Fs.swapInto(swapPath, root, hconf)
   }
 }

@@ -112,8 +112,22 @@ object Fs {
     val old = new HPath(aside)
     if (!fs.exists(d)) {
       if (fs.exists(s)) {
-        if (!fs.rename(s, d) && !fs.exists(d))
-          throw new java.io.IOException(s"swap recovery rename failed: $s -> $d")
+        // promote the staging dir ONLY when it is provably COMPLETE:
+        // either the aside exists (swapInto renames dst aside strictly
+        // AFTER src is fully written, so a present aside certifies src)
+        // or src carries Spark's _SUCCESS commit marker. A staging dir
+        // failing both checks is a write that crashed MID-parquet —
+        // promoting it would serve a partial batch as committed,
+        // violating the "committed dir is complete by construction"
+        // invariant every reader relies on. The mutation never returned
+        // success, so DROPPING the leftover is the consistent recovery.
+        val complete = fs.exists(old) || fs.exists(new HPath(s, "_SUCCESS"))
+        if (complete) {
+          if (!fs.rename(s, d) && !fs.exists(d))
+            throw new java.io.IOException(s"swap recovery rename failed: $s -> $d")
+        } else {
+          fs.delete(s, true); ()
+        }
       } else if (fs.exists(old)) {
         if (!fs.rename(old, d) && !fs.exists(d))
           throw new java.io.IOException(s"swap recovery restore failed: $old -> $d")
@@ -181,6 +195,15 @@ object Fs {
     if (!fs.rename(new HPath(src), new HPath(dst)))
       throw new java.io.IOException(s"rename failed: $src -> $dst")
   }
+
+  /** Refresh the modification time of an existing file (lease
+    * heartbeat). Never creates the file; a missing path is a no-op —
+    * the holder losing its lease mid-beat must not resurrect it. */
+  def touch(path: String, conf: Configuration): Unit = try {
+    val fs = fileSystem(path, conf)
+    val p = new HPath(path)
+    if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
+  } catch { case _: java.io.IOException => () }
 
   /** Modification time of `path` in epoch millis, if it exists. */
   def modifiedMs(path: String, conf: Configuration): Option[Long] = {

@@ -131,8 +131,22 @@ class ForestIndex(spark: SparkSession, path: String,
     // pruning set: bounded by the tb DOMAIN (tables·2^prefixBits),
     // a constructor constant — never by query or index size
     val tbs = qtb.distinct().collect().map(_.getInt(0))
-    store.all()
+    val pruned = store.all()
       .filter(col("tb").isin(tbs.map(Int.box).toSeq: _*))
+    // last-batch-wins per stored id: a re-put id (updated signature,
+    // reference contract `index.go:198-210`) holds rows in several
+    // batches; serving both would rank one neighbor at MULTIPLE top-k
+    // positions (two distinct sigs = two Hamming distances). Every
+    // rotation row of the WINNING batch is kept (a row_number dedup
+    // would drop the other rotations), and the window runs over the
+    // PRUNED rows only, never the full store. (A re-put whose new
+    // signature landed outside the probed tb partitions still serves
+    // its newest PROBED row — the documented read-side bound;
+    // remove()+put() is the exact-replace path.)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    pruned
+      .withColumn("__mb", max(col("batch")).over(w))
+      .filter(col("batch") === col("__mb"))
       .select(col("rot"), col("k"), col("id"), col("sig"))
   }
 }

@@ -110,13 +110,24 @@ class IncrementalIndex(spark: SparkSession, path: String,
     else ext0
     val tfd = DedupPipeline.withTf(ext, cfg)
     val stats = loadStats().getOrElse {
-      val st = DedupPipeline.fitCorpusStats(tfd, cfg)
-      // atomic first-fit publish: a crash mid-parquet-write must not
-      // leave a partial stats dir that loadStats would silently read
-      // (the store is still empty here, so losing the fit loses nothing
-      // — the next put simply re-fits)
-      Fs.publishByRename(statsPath, hconf)(saveStatsTo(_, st))
-      st
+      // first-fit check + publish runs UNDER the store's writer lease
+      // (double-checked): two concurrent first puts would otherwise
+      // each fit, and the later publish would overwrite the earlier
+      // stats while the earlier writer's rows — signed under its own
+      // fit — still commit, leaving persisted stats inconsistent with
+      // stored signatures. The loser of the lease fails loudly (the
+      // single-writer contract) instead of silently splitting the fit.
+      store.withLease {
+        loadStats().getOrElse {
+          val st = DedupPipeline.fitCorpusStats(tfd, cfg)
+          // atomic first-fit publish: a crash mid-parquet-write must not
+          // leave a partial stats dir that loadStats would silently read
+          // (the store is still empty here, so losing the fit loses
+          // nothing — the next put simply re-fits)
+          Fs.publishByRename(statsPath, hconf)(saveStatsTo(_, st))
+          st
+        }
+      }
     }
     DedupPipeline.applySignatures(tfd, stats, cfg, keepTf = true)
       .select(col("url"), col("doc_id"), col("minhash"), col("simhash"),
@@ -150,8 +161,11 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * batches — amortised geometrically, like capacity-doubling rehash. */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0) loadStats().foreach { st =>
-      val n = store.all().select("doc_id").distinct().count()
-      if (n >= autoRefitGrowth * st.n) refit()
+      // manifest read, NOT a per-put full-store count (a count job
+      // lists every batch dir of a 10^9-row store on every streaming
+      // micro-batch); rows are one per doc_id by the identity audit's
+      // invariant, so the row count IS the doc count
+      if (store.rowCount() >= autoRefitGrowth * st.n) refit()
     }
 
   /** Band rows of signature rows, in the serving layout. `keep` carries
@@ -323,7 +337,13 @@ class IncrementalIndex(spark: SparkSession, path: String,
   private def completeRefit(st: CorpusStats): Unit = {
     store.rewrite(df =>
       DedupPipeline.applySignatures(df, st, cfg, keepTf = true))
-    bandStore.rewrite(_ => bandRows(store.all(), keep = Seq("batch")))
+    if (bandStore.isEmpty)
+      // the only put ever crashed between its two writes (signatures
+      // landed, band layout never created): there is nothing to
+      // rewrite — rewrite() would throw on the missing path — so the
+      // layout is generated fresh from the re-signatured store instead
+      reconcileBands()
+    else bandStore.rewrite(_ => bandRows(store.all(), keep = Seq("batch")))
     Fs.swapInto(statsNextPath, statsPath, hconf)
   }
 
@@ -398,6 +418,15 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * before the band layout existed. Returns
     * (query_url, match_url, jaccard). */
   def search(pages: DataFrame): DataFrame = {
+    // empty index: nothing can match — return the empty result without
+    // signaturing the queries. (Signaturing would also FIT first-put
+    // corpus stats from a read path, which is the put paths' job and
+    // takes the writer lease.)
+    if (isEmpty) {
+      val s = pages.sparkSession
+      return s.range(0).select(lit("").as("query_url"),
+        lit("").as("match_url"), lit(0.0).as("jaccard"))
+    }
     // a crashed refit must never serve mixed state: stats in `stats`
     // with signatures already rewritten for `stats.refit` (or half the
     // batches re-signatured) would miss true duplicates silently
@@ -456,8 +485,18 @@ class IncrementalIndex(spark: SparkSession, path: String,
     val qs = q.select(col("doc_id").as("qid"), col("url").as("query_url"),
       col("shingles").as("qsh"))
     val ss = stored.select(col("doc_id").as("sid"), col("url").as("match_url"),
-      col("shingles").as("ssh"))
+      col("shingles").as("ssh"), col("batch").as("__sb"))
+    // last-put-wins per stored identity: the audit ALLOWS re-putting the
+    // same (id, url) across batches — same identity — so a sid can hold
+    // several stored rows (possibly with UPDATED text). Search must
+    // serve the newest, and must not emit one logical match several
+    // times. The dedup runs on the candidate-sized joined frame (a
+    // window over the full store per search would shuffle 10^9 rows).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid", "sid").orderBy(col("__sb").desc)
     cands.join(qs, "qid").join(ss, "sid")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .withColumn("jaccard", graft.verify.Measures.jaccard(col("qsh"), col("ssh")))
       .filter(col("jaccard") >= cfg.tau)
       .select("query_url", "match_url", "jaccard")

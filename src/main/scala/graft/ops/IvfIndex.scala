@@ -69,7 +69,14 @@ class IvfIndex(spark: SparkSession, path: String,
     * (fitted over this batch on the first call). */
   private def assigned(vecs: DataFrame): DataFrame = {
     val v = vecs.select(col("id").cast("long").as("id"), col("vec"))
-    val book = loadBook().getOrElse {
+    // first-fit check + publish under the store's writer lease
+    // (double-checked): two concurrent first puts would otherwise each
+    // fit a codebook and the later publish would overwrite the earlier
+    // one while the earlier writer's rows — cell-assigned under its own
+    // book — still commit, leaving the persisted book inconsistent with
+    // stored cells (pruned searches then silently miss). The loser of
+    // the lease fails loudly, the single-writer contract.
+    val book = loadBook().getOrElse(store.withLease(loadBook().getOrElse {
       val n = v.count()
       // a first batch smaller than nCells fits a book as small as the
       // data (probe clamps nProbe to the book) instead of refusing —
@@ -85,7 +92,7 @@ class IvfIndex(spark: SparkSession, path: String,
       // loses nothing — the next put re-fits.
       Fs.publishByRename(bookPath, hconf)(saveBookTo(_, b, n))
       b
-    }
+    }))
     v.select(
       element_at(Ivf.probe(col("vec"), book, 1), 1).as("cell"),
       col("id"), col("vec"))
@@ -115,7 +122,10 @@ class IvfIndex(spark: SparkSession, path: String,
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0 && Fs.exists(bookPath, hconf))
       fitSizeFrom(bookPath).foreach { atFit =>
-        if (store.all().count() >= autoRefitGrowth * atFit) refit()
+        // manifest read, NOT a per-put full-store count: a count job
+        // lists every batch dir of a 10^9-row store on every streaming
+        // micro-batch (the manifest is one small sibling file)
+        if (store.rowCount() >= autoRefitGrowth * atFit) refit()
       }
 
   /** Remove by id: anti-join rewrite, atomic swap. */
@@ -186,16 +196,30 @@ class IvfIndex(spark: SparkSession, path: String,
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val stored = store.all()
       .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
-      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"))
+      .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"),
+        col("batch"))
     // id-only pair dedup through the cell join (a pair can meet in
     // several probed cells); vectors re-join once per surviving pair
     val cands = q.select("query_id", "cell")
       .join(stored.select("cell", "neighbor_id"), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
+    // last-batch-wins per stored id: re-putting an id (the normal
+    // update mutation for an embedding index — reference contract
+    // `index.go:198-210`) stores a second row in a later batch; without
+    // the dedup the vector re-join fans one neighbor back out over
+    // MULTIPLE ranks (k=5 silently returning 4 distinct neighbors) and
+    // can score with the stale vector. max_by(batch) is one partial
+    // aggregate over the PRUNED rows only — the full store is never
+    // touched. (A re-put whose new vector landed in a cell outside the
+    // probe set still serves its newest PROBED row — the documented
+    // read-side bound; remove()+put() is the exact-replace path.)
+    val latest = stored
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cv"), struct(col("batch"), col("cell"))).as("cv"))
     val scored = cands
       .join(q0, "query_id")
-      .join(stored.select("neighbor_id", "cv"), "neighbor_id")
+      .join(latest, "neighbor_id")
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),
         transform(col("cv"), x => x.cast("double"))))

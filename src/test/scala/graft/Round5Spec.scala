@@ -1,0 +1,227 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ckpt.{BatchStore, Fs}
+
+/** Round-5 contracts: staging-completeness on swap recovery (a
+  * mid-parquet crash can never be promoted to a committed batch), the
+  * manifest-backed store row count (no full-store job per put), the
+  * lease heartbeat + break-race verify, last-put-wins identity on all
+  * three mutable indexes, empty-index search, and band-layout refit
+  * repair. */
+class Round5Spec extends AnyFunSuite with SparkSpec {
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-r5-").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def doc(p: String) = (1 to 60).map(i =>
+    p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+
+  // ---- swap-recovery completeness (ADVICE: Fs.recoverSwap) ----
+
+  test("a staging dir from a mid-parquet crash (no _SUCCESS, no aside) " +
+    "is DROPPED on open, never promoted to a committed batch") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val st = new BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    // fabricate the crash: a partial staging dir for a NEW batch —
+    // no batch=1 dir existed, so no aside was ever renamed
+    Fs.mkdirs(s"$root/.batch-1.tmp", hconf)
+    Fs.writeStringAtomic(s"$root/.batch-1.tmp/part-00000.parquet",
+      "truncated mid-write", hconf)
+    val st2 = new BatchStore(spark, root)
+    assert(!Fs.exists(s"$root/batch=1", hconf),
+      "a partial staging dir must never become a committed batch")
+    assert(!Fs.exists(s"$root/.batch-1.tmp", hconf),
+      "the never-committed staging leftover is dropped (the put never " +
+        "returned success, so dropping it is the consistent recovery)")
+    assert(st2.batchIds().toSet === Set(0L))
+    assert(st2.all().count() === 2L)
+  }
+
+  test("a COMPLETE staged batch (Spark _SUCCESS marker present) that " +
+    "crashed between write and swap is promoted on open") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val st = new BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    // fabricate a fully-written staging dir (df.write emits _SUCCESS)
+    Seq((9L, "z")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$root/.batch-1.tmp")
+    val st2 = new BatchStore(spark, root)
+    assert(st2.batchIds().toSet === Set(0L, 1L),
+      "a provably complete staged batch is recovered into service")
+    assert(st2.all().count() === 2L)
+  }
+
+  // ---- manifest-backed row count ----
+
+  test("rowCount: manifest tracks writes and idempotent overwrites, " +
+    "serves with ZERO Spark jobs when consistent, and self-heals " +
+    "after a rewrite") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val st = new BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    st.writeBatch(Seq((3L, "c")).toDF("id", "v"), 1L)
+    assert(st.rowCount() === 3L)
+    // idempotent overwrite of batch 1 replaces its count, not adds
+    st.writeBatch(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 1L)
+    assert(st.rowCount() === 4L)
+    // consistent manifest ⇒ no Spark job (the auto-refit poll must not
+    // count a 10^9-row store on every streaming micro-batch)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(st.rowCount() === 4L)
+      Thread.sleep(1500) // listener delivery is async; events arrive in ms
+      assert(jobs.get() === 0,
+        "rowCount() on a consistent manifest must run no Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // a rewrite changes per-batch counts: manifest invalidated, rebuilt
+    st.rewrite(df => df.filter(col("id") =!= lit(1L)))
+    assert(st.rowCount() === 3L)
+    // a deleted manifest (advisory state) self-heals too
+    Fs.deleteIfExists(s"$root.rows", hconf)
+    assert(st.rowCount() === 3L)
+  }
+
+  // ---- lease heartbeat + stale break ----
+
+  test("the lease heartbeat keeps a mutation LONGER than the TTL alive " +
+    "(a second writer still fails loudly), while a genuinely stale " +
+    "lease is broken") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val ttl = 1500L
+    val st = new BatchStore(spark, root, leaseTtlMs = ttl)
+    st.writeBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    val attacker = new BatchStore(spark, root, leaseTtlMs = ttl)
+    st.withLease {
+      Thread.sleep(3 * ttl) // hold far past the TTL; heartbeat refreshes
+      val e = intercept[java.io.IOException](attacker.withLease(()))
+      assert(e.getMessage.contains("another writer holds the lease"),
+        "a live lease older than the TTL by wall-clock must NOT be " +
+          "broken while its holder heartbeats")
+    }
+    // a genuinely stale lease (crashed holder: file exists, mtime old,
+    // nobody heartbeating) is broken and the store stays mutable
+    Fs.createExclusive(s"$root.lock", "crashed holder", hconf)
+    val fs = Fs.fileSystem(root, hconf)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$root.lock"),
+      System.currentTimeMillis() - 10 * ttl, -1)
+    attacker.withLease(()) // must succeed by breaking the stale lease
+    assert(!Fs.exists(s"$root.lock", hconf))
+  }
+
+  // ---- last-put-wins identity: IvfIndex ----
+
+  test("IvfIndex: re-putting an id with an updated vector serves the " +
+    "LATEST vector and k DISTINCT neighbors (no duplicate ranks)") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/ivf"
+    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 4, nProbe = 4)
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
+    idx.put((0L until 10L).map(i => (i, vec(i))).toDF("id", "vec"))
+    // the update mutation: id 3 moves to a brand-new direction that is
+    // EXACTLY the coming query's direction (old row would score ~0)
+    idx.put(Seq((3L, vec(100L))).toDF("id", "vec"))
+    val got = idx.search(Seq((999L, vec(100L))).toDF("id", "vec"), 5)
+      .orderBy("rank")
+      .as[(Long, Long, Int)].collect()
+    assert(got.length === 5)
+    assert(got.map(_._2).distinct.length === 5,
+      "one stored identity must occupy at most ONE rank")
+    assert(got.map(_._3).toSeq === Seq(1, 2, 3, 4, 5))
+    assert(got.head._2 === 3L,
+      "the re-put id must rank by its LATEST vector (cos 1.0 here)")
+  }
+
+  // ---- last-put-wins identity: ForestIndex ----
+
+  test("ForestIndex: re-putting an id with an updated signature serves " +
+    "the latest signature exactly once in the ranking") {
+    import spark.implicits._
+    import graft.hash.HashKernels.mix64
+    val dir = s"${freshDir()}/forest"
+    val f = new graft.lsh.ForestIndex(spark, dir)
+    val qsig = mix64(999L)
+    // id 5's ORIGINAL signature is 1 bit off the query (shares every
+    // prefix, hamming 1) so its stale row WOULD surface as a candidate
+    val rows = (1L to 20L).map(i =>
+      (i, if (i == 5L) qsig ^ 1L else mix64(i)))
+    f.put(rows.toDF("id", "sig"))
+    f.put(Seq((5L, qsig)).toDF("id", "sig")) // the update: hamming 0
+    val got = f.search(Seq((999L, qsig)).toDF("id", "sig"), 3)
+      .as[(Long, Long, Int, Int)].collect()
+    val id5 = got.filter(_._2 == 5L)
+    assert(id5.length === 1,
+      "the re-put id must appear at exactly one rank")
+    assert(id5.head._3 === 0 && id5.head._4 === 1,
+      "the LATEST signature (hamming 0) must be the one served")
+  }
+
+  // ---- last-put-wins identity: IncrementalIndex ----
+
+  test("IncrementalIndex: re-putting a url with updated text serves one " +
+    "match row with the NEWEST text's jaccard") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    val textA = doc("aa")
+    val textC = textA.replace(" aah ", " changed ") // near edit of textA
+    idx.put(Seq(("u1", textA), ("u2", doc("bb"))).toDF("url", "text"))
+    idx.put(Seq(("u1", textC)).toDF("url", "text")) // same identity, new text
+    val got = idx.search(Seq(("q", textC)).toDF("url", "text"))
+      .as[(String, String, Double)].collect()
+    val u1 = got.filter(_._2 == "u1")
+    assert(u1.length === 1,
+      "one stored identity must yield ONE match row, not one per batch")
+    assert(u1.head._3 === 1.0,
+      "the match must verify against the NEWEST stored text " +
+        s"(jaccard 1.0 for an identical query), got ${u1.head._3}")
+  }
+
+  test("IncrementalIndex: searching an EMPTY index returns the empty " +
+    "result without fitting corpus stats from a read path") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    val out = idx.search(Seq(("q", doc("aa"))).toDF("url", "text"))
+    assert(out.columns.toSeq === Seq("query_url", "match_url", "jaccard"))
+    assert(out.count() === 0L)
+    assert(!Fs.exists(s"$dir/stats", hconf),
+      "a read path must not publish first-fit corpus stats")
+  }
+
+  // ---- refit over a band layout that never landed ----
+
+  test("refit() repairs an index whose only put crashed between its two " +
+    "writes (signatures landed, band layout never created)") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    idx.put(Seq(("u1", doc("aa")), ("u2", doc("bb"))).toDF("url", "text"))
+    // simulate: the band layout never landed
+    Fs.deleteIfExists(s"$dir/bands", hconf)
+    idx.refit() // must regenerate the layout instead of throwing
+    assert(Fs.exists(s"$dir/bands", hconf))
+    val near = doc("bb").replace(" bbh ", " changed ")
+    val m = idx.search(Seq(("q", near)).toDF("url", "text"))
+      .select("match_url").as[String].collect().toSet
+    assert(m === Set("u2"))
+  }
+}
