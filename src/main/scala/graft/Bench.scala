@@ -346,7 +346,11 @@ object Bench {
                     Option(e.getMessage).getOrElse(e.getClass.getName)
                       .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
                 }
-            }
+            } finally
+              // outside the timed window: a query's leaked cache (e.g.
+              // a shared-frame persist) must not squat on memory while
+              // the 38 queries after it are measured
+              SparkEntry.releaseCaches(spark)
           }
           sampling = false
           sampler.interrupt()

@@ -113,6 +113,23 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     DedupPipeline.run(docsAsPages(spark, "/root/testdata/sf0.001"), DedupConfig())
 
+  /** Release every cache a query left behind: Dataset persists go
+    * through the session CacheManager (`catalog.clearCache`), then any
+    * remaining persisted RDDs are dropped directly (localCheckpoint
+    * blocks and model-held components are not CacheManager entries).
+    * Verify/Bench call this AFTER each query's action so a 39-query
+    * session ends with zero retained RDDs — a leaked cache (e.g.
+    * q_jaccard_near's shared shingle frame, or a fitted model's
+    * persisted components) otherwise accumulates across queries and
+    * pressures the very memory bandwidth the bench measures. Spec'd:
+    * Round5CacheSpec asserts `getPersistentRDDs.isEmpty` after the
+    * full query map. */
+  def releaseCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- text kernel / stats (SURVEY P2-P4, A7) ----
     "q_token_stats" -> ((s, dir) => docs(s, dir).select(

@@ -222,15 +222,35 @@ object TrainingDataOps {
    * join + partial-aggregated count, so the 100 TB side never shuffles
    * its windows. Matching is on the literal window string — no hash
    * false positives on the flag that deletes training data.
+   *
+   * Broadcast guard: the design point is eval-suite-sized benchmarks,
+   * but a caller handing in a multi-million-document set would OOM the
+   * driver building the broadcast with no warning. The distinct-window
+   * count is therefore checked first (one job over the SMALL side
+   * only); past `maxBroadcastWindows` the join degrades to a logged
+   * shuffle semi-join — identical results, the corpus windows shuffle
+   * once instead of meeting a broadcast.
    */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     bench: DataFrame, benchTextCol: String,
-                    n: Int = 8): DataFrame = {
+                    n: Int = 8,
+                    maxBroadcastWindows: Long = 4L * 1000 * 1000): DataFrame = {
     val bwin = bench
       .select(explode(tokenWindows(col(benchTextCol), n)).as("__w"))
       .distinct()
+    val nWin = bwin.count()
+    val joinSide =
+      if (nWin <= maxBroadcastWindows) broadcast(bwin)
+      else {
+        System.err.println(s"[graft] decontaminate: benchmark set has " +
+          s"$nWin distinct $n-token windows > maxBroadcastWindows=" +
+          s"$maxBroadcastWindows — falling back to a shuffle semi-join " +
+          "(same results; the corpus windows shuffle once)")
+        // strip any planner temptation to broadcast a side this big
+        bwin.hint("shuffle_hash")
+      }
     docs.select(col(idCol), explode(tokenWindows(col(textCol), n)).as("__w"))
-      .join(broadcast(bwin), Seq("__w"), "left_semi")
+      .join(joinSide, Seq("__w"), "left_semi")
       .groupBy(idCol)
       .agg(countDistinct(col("__w")).as("n_hits"))
   }

@@ -41,13 +41,15 @@ object StreamingAnnIngest {
   def start(spark: SparkSession, vecStream: DataFrame, indexPath: String,
             k: Int = 1, nCells: Int = 256, nProbe: Int = 8,
             autoRefitGrowth: Double = 4.0,
+            checkpointLocation: Option[String] = None,
             onMatches: DataFrame => Unit = _ => ())
   : StreamingQuery = {
     val index = new IvfIndex(spark, indexPath, nCells = nCells,
       nProbe = nProbe, autoRefitGrowth = autoRefitGrowth)
-    vecStream.writeStream
+    val w0 = vecStream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
+    checkpointLocation.fold(w0)(w0.option("checkpointLocation", _))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
         try {

@@ -30,15 +30,23 @@ object StreamingDedup {
    * @param indexPath   signature-index location
    * @param onMatches   callback per micro-batch with the new-dup matches
    *                    (query_url, match_url, jaccard)
+   * @param checkpointLocation Structured Streaming checkpoint dir — set
+   *                    it in production: a killed query restarted from
+   *                    the checkpoint replays only uncommitted batches,
+   *                    and the batchId-keyed index write makes the
+   *                    replay overwrite itself instead of duplicating
+   *                    (spec'd under kill/restart in Round5StreamingSpec)
    */
   def start(spark: SparkSession, pagesStream: DataFrame, indexPath: String,
             cfg: DedupConfig = DedupConfig(),
+            checkpointLocation: Option[String] = None,
             onMatches: DataFrame => Unit = _ => ())
   : StreamingQuery = {
     val index = new IncrementalIndex(spark, indexPath, cfg)
-    pagesStream.writeStream
+    val w0 = pagesStream.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime("1 second"))
+    checkpointLocation.fold(w0)(w0.option("checkpointLocation", _))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
         try {
