@@ -199,7 +199,16 @@ final class BatchStore(spark: SparkSession, root: String,
     }
     val staging = s"$root/.batch-$batchId.tmp"
     Fs.deleteIfExists(staging, hconf)
-    df.write.mode("overwrite").partitionBy(subPartitionCols: _*)
+    // cluster rows by the partition columns before the partitioned
+    // write: without it EVERY write task emits a file into EVERY value
+    // dir it sees (tasks × domain small files per batch — measured 8k
+    // files/batch at 32 tasks × 256 cells, and the serving searches
+    // paid more wall in file listing/scheduling than in scan). One
+    // O(batch) exchange bounds the file count by the partition domain.
+    val clustered =
+      if (subPartitionCols.isEmpty) df
+      else df.repartition(subPartitionCols.map(org.apache.spark.sql.functions.col): _*)
+    clustered.write.mode("overwrite").partitionBy(subPartitionCols: _*)
       .parquet(staging)
     // staged-batch row count for the running manifest: an O(batch)
     // count over the just-written staging parquet (metadata-weight),
@@ -230,8 +239,11 @@ final class BatchStore(spark: SparkSession, root: String,
     * target, so cache eviction or a mid-write crash cannot destroy the
     * store. The `batch` partition column must survive `f`. */
   def rewrite(f: DataFrame => DataFrame): Unit = withLease {
-    f(all()).write.mode("overwrite")
-      .partitionBy(("batch" +: subPartitionCols): _*).parquet(swapPath)
+    val cols = "batch" +: subPartitionCols
+    // same files-per-partition-dir bound as the batch write path
+    f(all()).repartition(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite")
+      .partitionBy(cols: _*).parquet(swapPath)
     // the rewrite changes per-batch counts (anti-join removes rows):
     // invalidate the manifest before the swap — rowCount() rebuilds it
     // lazily from the new data on its next call

@@ -131,8 +131,11 @@ class ForestIndex(spark: SparkSession, path: String,
     // pruning set: bounded by the tb DOMAIN (tables·2^prefixBits),
     // a constructor constant — never by query or index size
     val tbs = qtb.distinct().collect().map(_.getInt(0))
-    val pruned = store.all()
-      .filter(col("tb").isin(tbs.map(Int.box).toSeq: _*))
+    // skip the predicate when the query batch touches every tb: it
+    // prunes nothing and a full-domain IN costs optimizer time
+    val pruned = (if (tbs.length < tables * (1 << prefixBits))
+        store.all().filter(col("tb").isin(tbs.map(Int.box).toSeq: _*))
+      else store.all())
     // last-batch-wins per stored id: a re-put id (updated signature,
     // reference contract `index.go:198-210`) holds rows in several
     // batches; serving both would rank one neighbor at MULTIPLE top-k

@@ -474,8 +474,11 @@ class IncrementalIndex(spark: SparkSession, path: String,
           else storedBands0.unionByName(
             bandRows(stored.filter(
               col("batch").isin(missing.map(Long.box): _*))))
-        storedBands
-          .filter(col("pb").isin(pbs.map(Int.box).toSeq: _*))
+        // skip the predicate when the query batch touches every pb: it
+        // prunes nothing and a full-domain IN costs optimizer time
+        (if (pbs.length < cfg.bands * cfg.bandBuckets)
+           storedBands.filter(col("pb").isin(pbs.map(Int.box).toSeq: _*))
+         else storedBands)
           .select(col("doc_id").as("sid"), col("pb"), col("key"))
           .join(qb, Seq("pb", "key"))
       }

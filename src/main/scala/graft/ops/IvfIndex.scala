@@ -26,10 +26,16 @@ import graft.verify.Measures
  * public operation — after a refit the index is equivalent to one
  * freshly built from the full corpus (spec'd).
  */
+/** @param pruneScan diagnostic/benchmark knob: `false` drops the
+  *   partition filter on the stored scan (results identical — the cell
+  *   equi-join still bounds candidates — but every cell's files are
+  *   read). Exists so the serving benchmark can measure what the
+  *   pruning is worth in bytes and wall time; leave `true` in use. */
 class IvfIndex(spark: SparkSession, path: String,
                nCells: Int = 256, nProbe: Int = 8,
                iters: Int = 10, sampleCap: Int = 4096,
-               autoRefitGrowth: Double = 0.0) {
+               autoRefitGrowth: Double = 0.0,
+               pruneScan: Boolean = true) {
   import graft.ckpt.Fs
 
   private val store = new graft.ckpt.BatchStore(spark, s"$path/rows",
@@ -194,8 +200,13 @@ class IvfIndex(spark: SparkSession, path: String,
     val q = q0.withColumn("cell", explode(Ivf.probe(col("qv"), book, nProbe)))
     // pruning set: distinct probed cells — domain-bounded collect
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
-    val stored = store.all()
-      .filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+    val stored0 = store.all()
+    // skip the predicate when the probe set covers every cell: it would
+    // prune nothing, and a multi-hundred-value IN costs measurable
+    // optimizer time (constraint propagation) on every search
+    val stored = (if (pruneScan && cells.length < book.length)
+        stored0.filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
+      else stored0)
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"),
         col("batch"))
     // id-only pair dedup through the cell join (a pair can meet in
