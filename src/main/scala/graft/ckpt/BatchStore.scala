@@ -234,6 +234,30 @@ final class BatchStore(spark: SparkSession, root: String,
       spark.read.schema(schema).parquet(root)
     } else spark.read.parquet(root)
 
+  /** Consolidate every batch with id ≤ `upTo` into ONE batch directory
+    * (id = `upTo`), through the atomic rewrite. A streaming store
+    * accretes a `batch=<id>` dir per micro-batch; partition pruning
+    * bounds what a search READS, but every open/search still LISTS all
+    * batch dirs — compaction bounds the directory count. `resolve` is
+    * applied to the consolidated subset BEFORE its batch ids collapse:
+    * merging batches erases their order, so an id-keyed index must
+    * resolve its last-put-wins identities here (each index supplies
+    * its own rule); rows with batch > upTo are untouched.
+    *
+    * SAFETY CONTRACT: a replayed `writeBatch(id ≤ upTo)` AFTER
+    * compaction would overwrite the consolidated directory with that
+    * one batch's rows. Only compact ids that can no longer replay —
+    * for Structured Streaming ingestion, batches at or below the
+    * checkpoint's committed watermark. */
+  def compact(upTo: Long)(resolve: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    rewrite { df =>
+      val old = resolve(df.filter(col("batch") <= upTo))
+        .withColumn("batch", lit(upTo))
+      df.filter(col("batch") > upTo).unionByName(old)
+    }
+  }
+
   /** Atomic whole-store rewrite: `f(all())` lands in a temp dir, then a
     * directory swap commits — the read source is never the write
     * target, so cache eviction or a mid-write crash cannot destroy the

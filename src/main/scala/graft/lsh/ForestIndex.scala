@@ -84,6 +84,19 @@ class ForestIndex(spark: SparkSession, path: String,
     store.writeBatch(rotRows(sigs), batchId)
   }
 
+  /** Consolidate batches ≤ `upTo` into one directory, keeping every
+    * rotation row of each id's newest batch (last-put-wins applied
+    * while the batch order still exists). Replay-safety contract:
+    * [[graft.ckpt.BatchStore.compact]]. */
+  def compact(upTo: Long): Unit = {
+    requireServingLayout()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    store.compact(upTo)(df => df
+      .withColumn("__mb", max(col("batch")).over(w))
+      .filter(col("batch") === col("__mb"))
+      .drop("__mb"))
+  }
+
   /** Remove documents by id (reference `Remove(id)`, `index.go:119-136`):
     * anti-join rewrite into a temp dir, then an atomic swap. */
   def remove(ids: DataFrame): Unit = {

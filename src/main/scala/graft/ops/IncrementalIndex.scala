@@ -406,6 +406,35 @@ class IncrementalIndex(spark: SparkSession, path: String,
 
   def all(): DataFrame = store.all()
 
+  /** Consolidate batches ≤ `upTo` into one directory in BOTH stores
+    * (signatures + band layout), applying last-put-wins per identity
+    * while the batch order still exists: a url re-put across compacted
+    * batches keeps only its newest signature row, and its band rows
+    * regenerate from exactly those survivors — the two stores stay
+    * consistent by construction. Replay-safety contract:
+    * [[graft.ckpt.BatchStore.compact]] (only compact below the
+    * streaming checkpoint's committed watermark). */
+  def compact(upTo: Long): Unit = {
+    ensureClean()
+    reconcileBands()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    store.compact(upTo)(df => df
+      .withColumn("__mb", max(col("batch")).over(w))
+      .filter(col("batch") === col("__mb"))
+      .drop("__mb"))
+    // band rows are DERIVED data: regenerate the compacted range from
+    // the post-compaction signature store instead of trying to mirror
+    // the window rule over exploded rows. A crash between the two
+    // rewrites leaves stale band dirs for the merged batches — harmless
+    // (their candidates die at the signature join, which only serves
+    // surviving rows) and dropped by the next band rewrite.
+    bandStore.rewrite { bands =>
+      bands.filter(col("batch") > upTo).unionByName(
+        bandRows(store.all().filter(col("batch") <= upTo),
+          keep = Seq("batch")))
+    }
+  }
+
   /** Near-dup matches of `pages` against the stored index: pruned
     * band-key equi-join + exact Jaccard verify (reference `Search`
     * semantics, `index.go:215-255`, without top-k truncation). Queries

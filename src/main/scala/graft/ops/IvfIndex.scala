@@ -134,6 +134,21 @@ class IvfIndex(spark: SparkSession, path: String,
         if (store.rowCount() >= autoRefitGrowth * atFit) refit()
       }
 
+  /** Consolidate batches ≤ `upTo` into one directory, applying
+    * last-put-wins per id while the batch order still exists (after the
+    * merge it is gone) — post-compaction searches serve exactly what
+    * they served before. See [[graft.ckpt.BatchStore.compact]] for the
+    * replay-safety contract (only compact below the streaming
+    * checkpoint's committed watermark). */
+  def compact(upTo: Long): Unit = {
+    ensureRefitComplete()
+    val w = Window.partitionBy("id")
+    store.compact(upTo)(df => df
+      .withColumn("__mb", max(col("batch")).over(w))
+      .filter(col("batch") === col("__mb"))
+      .drop("__mb"))
+  }
+
   /** Remove by id: anti-join rewrite, atomic swap. */
   def remove(ids: DataFrame): Unit = {
     ensureRefitComplete()

@@ -207,6 +207,55 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
       "a read path must not publish first-fit corpus stats")
   }
 
+  // ---- batch compaction ----
+
+  test("IvfIndex.compact: batch dirs collapse, identities resolve " +
+    "last-put-wins, searches and later puts unchanged") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/ivf"
+    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 4, nProbe = 4)
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
+    idx.put((0L until 8L).map(i => (i, vec(i))).toDF("id", "vec"))
+    idx.put(Seq((3L, vec(100L))).toDF("id", "vec")) // re-put: update
+    idx.put((8L until 12L).map(i => (i, vec(i))).toDF("id", "vec"))
+    val q = Seq((999L, vec(100L))).toDF("id", "vec")
+    val before = idx.search(q, 5).orderBy("rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    idx.compact(2L) // all three batches collapse into batch=2
+    val store = new graft.ckpt.BatchStore(spark, s"$dir/rows",
+      subPartitionCols = Seq("cell"))
+    assert(store.batchIds() === Seq(2L), "one consolidated batch dir")
+    assert(store.rowCount() === 12L,
+      "the re-put id keeps ONE row after identity resolution")
+    val after = idx.search(q, 5).orderBy("rank")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(after === before,
+      "compaction must not change what searches serve")
+    assert(after.head._2 === 3L, "the re-put id still serves its LATEST vector")
+    // nextBatchId stays monotone: a later put lands past the compacted id
+    idx.put(Seq((50L, vec(50L))).toDF("id", "vec"))
+    assert(store.batchIds().toSet === Set(2L, 3L))
+  }
+
+  test("IncrementalIndex.compact: both stores consolidate consistently; " +
+    "search serves the newest identity afterwards") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    val textA = doc("aa")
+    val textC = textA.replace(" aah ", " changed ")
+    idx.put(Seq(("u1", textA), ("u2", doc("bb"))).toDF("url", "text"))
+    idx.put(Seq(("u1", textC)).toDF("url", "text"))
+    idx.compact(1L)
+    assert(Fs.listNames(s"$dir/sigs", hconf).count(_.startsWith("batch=")) === 1)
+    assert(Fs.listNames(s"$dir/bands", hconf).count(_.startsWith("batch=")) === 1)
+    assert(idx.all().count() === 2L,
+      "u1's superseded signature row is resolved away at compaction")
+    val got = idx.search(Seq(("q", textC)).toDF("url", "text"))
+      .as[(String, String, Double)].collect().filter(_._2 == "u1")
+    assert(got.length === 1 && got.head._3 === 1.0)
+  }
+
   // ---- refit over a band layout that never landed ----
 
   test("refit() repairs an index whose only put crashed between its two " +
