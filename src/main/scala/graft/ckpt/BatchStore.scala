@@ -212,11 +212,13 @@ final class BatchStore(spark: SparkSession, root: String,
       .parquet(staging)
     // staged-batch row count for the running manifest: an O(batch)
     // count over the just-written staging parquet (metadata-weight),
-    // never an O(store) listing. The entry is DROPPED before the swap
-    // and re-added after: a crash inside the window leaves a missing
-    // entry (self-healed by one recount in rowCount()) instead of a
-    // silently stale count.
-    val n = spark.read.parquet(staging).count()
+    // never an O(store) listing. The explicit schema matters: an EMPTY
+    // batch (a streaming trigger with no rows) stages only _SUCCESS,
+    // and schema inference over a data-less dir would throw. The entry
+    // is DROPPED before the swap and re-added after: a crash inside
+    // the window leaves a missing entry (self-healed by one recount in
+    // rowCount()) instead of a silently stale count.
+    val n = spark.read.schema(df.schema).parquet(staging).count()
     writeRowCounts(readRowCounts() - batchId)
     // the aside is dot-prefixed (hidden) because it lives INSIDE the
     // read root — a visible `batch=<id>.old` would be picked up by

@@ -39,13 +39,21 @@ object SyntheticVectors {
   }
 
   /** (vec_id, embedding) with `clusters` planted clusters of
-    * `clusterSize` members each. */
+    * `clusterSize` members each. Slices are sized by the DATA (one per
+    * ~100 rows, capped at session parallelism — what a parquet read of
+    * the same rows would give): the fixed-width sizing paid dozens of
+    * near-empty tasks per job on the 100-150-row fixture queries, the
+    * same scheduling floor the round-4 SyntheticPages fix removed.
+    * Results are slice-count-independent (per-row counter-based
+    * vectors; the IVF codebook sample is globally hash-ordered). */
   def generate(spark: SparkSession, clusters: Int, dim: Int = 64,
                clusterSize: Int = 2): DataFrame = {
     import spark.implicits._
     val cs = clusterSize
-    spark.range(0, clusters.toLong * clusterSize, 1,
-        spark.sparkContext.defaultParallelism)
+    val n = clusters.toLong * clusterSize
+    val slices = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, n / 100)).toInt
+    spark.range(0, n, 1, slices)
       .as[Long].map(i => (i, SyntheticVectors.vectorOf(i, dim, cs)))
       .toDF("vec_id", "embedding")
   }
