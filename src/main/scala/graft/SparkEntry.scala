@@ -451,7 +451,10 @@ object SparkEntry {
     // partner; generate_series oracle, same pattern as q_ann_lsh ----
     "q_lsh_forest" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col => c}
-      val sigs = s.range(0, 200).select(c("id").as("doc_id"),
+      // data-sized slices (200 rows), not session width: the prefix
+      // expansion's log-rounds each inherit the input's partitioning,
+      // so near-empty full-width slices multiply scheduling floor
+      val sigs = s.range(0, 200, 1, 2).select(c("id").as("doc_id"),
         when(c("id") % 2 === 0,
           HashFunctions.murmur3go(concat(lit("lf:"), floor(c("id") / 2).cast("long").cast("string")))
             .bitwiseXOR(shiftleft(
