@@ -26,6 +26,21 @@ import org.apache.spark.sql.types.{DataType, LongType, StructType}
  * first completes any swap commit a crashed writer left pending
  * ([[Fs.recoverSwap]]).
  */
+object BatchStore {
+  /** Rows of each key's NEWEST batch — every row of that batch (a
+    * row_number dedup would drop an id's other rows, e.g. a forest
+    * id's sibling rotations). The shared last-put-wins resolver for
+    * the indexes' compaction/pruning paths. */
+  def latestBatchRows(df: DataFrame, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, max}
+    val w = Window.partitionBy(keyCol)
+    df.withColumn("__graft_mb", max(col("batch")).over(w))
+      .filter(col("batch") === col("__graft_mb"))
+      .drop("__graft_mb")
+  }
+}
+
 final class BatchStore(spark: SparkSession, root: String,
                        leaseTtlMs: Long = 60L * 60 * 1000,
                        subPartitionCols: Seq[String] = Nil) {
@@ -67,8 +82,14 @@ final class BatchStore(spark: SparkSession, root: String,
       val m = readRowCounts()
       if (m.keySet == ids) m.values.sum
       else {
-        val counts = all().groupBy("batch").count().collect()
+        // seed every listed batch id: an EMPTY batch dir (a rows-less
+        // streaming trigger) produces no groupBy row, and a manifest
+        // missing its id would fail the keySet check forever — every
+        // later call re-running the full count the manifest exists to
+        // avoid
+        val counted = all().groupBy("batch").count().collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val counts = ids.map(id => id -> counted.getOrElse(id, 0L)).toMap
         writeRowCounts(counts)
         counts.values.sum
       }
@@ -95,15 +116,21 @@ final class BatchStore(spark: SparkSession, root: String,
   /** Run `f` holding the store's single-writer lease (loud failure if
     * another writer holds it; stale leases broken after the TTL).
     *
-    * Break-race hardening: two writers blocked on one stale lease can
-    * both read the stale mtime and interleave delete/create so the
-    * slower delete removes the faster writer's FRESH lock. The claim is
-    * therefore verified by re-reading the lock content after the
-    * create — a claimant whose unique token is no longer in the file
-    * lost the race and fails loudly instead of mutating concurrently.
-    * A heartbeat daemon refreshes the lock mtime at ttl/4 while `f`
-    * runs, so a legitimate mutation longer than the TTL (a full-store
-    * rewrite at 10^9 rows) is not broken as stale mid-hold. */
+    * Break-race hardening (NARROWED, not closed — a plain filesystem
+    * has no compare-and-delete, so a window always remains): two
+    * writers blocked on one stale lease can both read the stale mtime
+    * and interleave delete/create so the slower delete removes the
+    * faster writer's FRESH lock. Three mitigations stack: the
+    * staleness read repeats immediately before the delete (a freshly
+    * created or heartbeated lock reads young on the re-read), the
+    * claim is verified by re-reading the lock content after a short
+    * grace (a claimant whose unique token is gone lost the race and
+    * fails loudly), and the heartbeat keeps LIVE leases far from the
+    * TTL so only genuinely crashed holders ever look stale — size the
+    * TTL well above any heartbeat pause (GC, host stall). The
+    * heartbeat refreshes the lock mtime at ttl/4 while `f` runs, so a
+    * legitimate mutation longer than the TTL (a full-store rewrite at
+    * 10^9 rows) is not broken as stale mid-hold. */
   def withLease[T](f: => T): T = {
     Fs.modifiedMs(lockPath, hconf).foreach { ts =>
       // re-read right before the delete: narrows (not closes — the
@@ -120,6 +147,10 @@ final class BatchStore(spark: SparkSession, root: String,
         s"BatchStore at $root: another writer holds the lease ($lockPath) — " +
         s"concurrent mutation is single-writer by contract; a crashed " +
         s"holder's lease expires after ${leaseTtlMs / 1000} s")
+    // grace before the verify: a racing breaker's delete would have to
+    // land MORE than this after its own staleness re-read to slip past
+    // undetected — its delete follows that re-read by microseconds
+    Thread.sleep(50)
     val owned =
       try Fs.readString(lockPath, hconf) == token
       catch { case _: java.io.IOException => false }
@@ -129,7 +160,9 @@ final class BatchStore(spark: SparkSession, root: String,
         s"$lockPath — another writer claimed it concurrently")
     @volatile var beating = true
     val beat = new Thread(() => {
-      val interval = math.max(1000L, leaseTtlMs / 4)
+      // a FIXED floor above ttl/4 would let a short TTL out-sleep its
+      // own lease (ttl=800ms with a 1 s floor → broken mid-hold)
+      val interval = math.max(100L, leaseTtlMs / 4)
       while (beating) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }

@@ -90,11 +90,7 @@ class ForestIndex(spark: SparkSession, path: String,
     * [[graft.ckpt.BatchStore.compact]]. */
   def compact(upTo: Long): Unit = {
     requireServingLayout()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    store.compact(upTo)(df => df
-      .withColumn("__mb", max(col("batch")).over(w))
-      .filter(col("batch") === col("__mb"))
-      .drop("__mb"))
+    store.compact(upTo)(graft.ckpt.BatchStore.latestBatchRows(_, "id"))
   }
 
   /** Remove documents by id (reference `Remove(id)`, `index.go:119-136`):
@@ -152,17 +148,13 @@ class ForestIndex(spark: SparkSession, path: String,
     // last-batch-wins per stored id: a re-put id (updated signature,
     // reference contract `index.go:198-210`) holds rows in several
     // batches; serving both would rank one neighbor at MULTIPLE top-k
-    // positions (two distinct sigs = two Hamming distances). Every
-    // rotation row of the WINNING batch is kept (a row_number dedup
-    // would drop the other rotations), and the window runs over the
-    // PRUNED rows only, never the full store. (A re-put whose new
-    // signature landed outside the probed tb partitions still serves
-    // its newest PROBED row — the documented read-side bound;
+    // positions (two distinct sigs = two Hamming distances). The
+    // resolver keeps every rotation row of the winning batch and runs
+    // over the PRUNED rows only, never the full store. (A re-put whose
+    // new signature landed outside the probed tb partitions still
+    // serves its newest PROBED row — the documented read-side bound;
     // remove()+put() is the exact-replace path.)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    pruned
-      .withColumn("__mb", max(col("batch")).over(w))
-      .filter(col("batch") === col("__mb"))
+    graft.ckpt.BatchStore.latestBatchRows(pruned, "id")
       .select(col("rot"), col("k"), col("id"), col("sig"))
   }
 }

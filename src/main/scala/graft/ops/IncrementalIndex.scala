@@ -159,13 +159,43 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * and a refit runs as part of the put. Cost: one slim count job per
     * put while under the threshold; the refit itself re-signatures all
     * batches — amortised geometrically, like capacity-doubling rehash. */
+  // memo for the auto-refit poll: (confirmed distinct-doc count,
+  // manifest row count at confirmation). Re-puts of the same identity
+  // keep one row per batch, so the manifest row count only UPPER-BOUNDS
+  // the distinct docs — triggering refit on it alone would refit an
+  // unchanged corpus under a re-put-heavy stream.
+  private var confirmedDocs: Option[(Long, Long)] = None
+
+  /** Growth check, cheapest-evidence-first: (1) the manifest row count
+    * (one file read, no Spark job) upper-bounds distinct docs; (2) each
+    * row added since the last confirmation adds at most one distinct
+    * doc, so `d0 + (rows - rows0)` tightens the bound without a job;
+    * (3) an exact distinct count runs only when the bound crosses the
+    * threshold AND rows have grown `autoRefitGrowth`× since the last
+    * confirmation — re-puts grow rows on every put, so without the
+    * geometric backoff a re-put stream would pay the count job per
+    * put. The backoff delays a refit by at most one growth factor,
+    * the same amortisation the refit itself rides on. A shrunken row
+    * count (remove/compact rewrite) invalidates the memo. */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0) loadStats().foreach { st =>
-      // manifest read, NOT a per-put full-store count (a count job
-      // lists every batch dir of a 10^9-row store on every streaming
-      // micro-batch); rows are one per doc_id by the identity audit's
-      // invariant, so the row count IS the doc count
-      if (store.rowCount() >= autoRefitGrowth * st.n) refit()
+      val rows = store.rowCount()
+      confirmedDocs.foreach { case (_, rows0) =>
+        if (rows < rows0) confirmedDocs = None
+      }
+      val needConfirm = confirmedDocs match {
+        case Some((d0, rows0)) =>
+          d0 + (rows - rows0) >= autoRefitGrowth * st.n &&
+            rows >= autoRefitGrowth * rows0
+        case None => rows >= autoRefitGrowth * st.n
+      }
+      if (needConfirm) {
+        val distinct = store.all().select("doc_id").distinct().count()
+        if (distinct >= autoRefitGrowth * st.n) {
+          refit()
+          confirmedDocs = None
+        } else confirmedDocs = Some((distinct, rows))
+      }
     }
 
   /** Band rows of signature rows, in the serving layout. `keep` carries
@@ -417,11 +447,8 @@ class IncrementalIndex(spark: SparkSession, path: String,
   def compact(upTo: Long): Unit = {
     ensureClean()
     reconcileBands()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    store.compact(upTo)(df => df
-      .withColumn("__mb", max(col("batch")).over(w))
-      .filter(col("batch") === col("__mb"))
-      .drop("__mb"))
+    store.compact(upTo)(
+      graft.ckpt.BatchStore.latestBatchRows(_, "doc_id"))
     // band rows are DERIVED data: regenerate the compacted range from
     // the post-compaction signature store instead of trying to mirror
     // the window rule over exploded rows. A crash between the two

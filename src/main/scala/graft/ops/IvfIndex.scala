@@ -27,10 +27,14 @@ import graft.verify.Measures
  * freshly built from the full corpus (spec'd).
  */
 /** @param pruneScan diagnostic/benchmark knob: `false` drops the
-  *   partition filter on the stored scan (results identical — the cell
-  *   equi-join still bounds candidates — but every cell's files are
-  *   read). Exists so the serving benchmark can measure what the
-  *   pruning is worth in bytes and wall time; leave `true` in use. */
+  *   partition filter on the stored scan (the cell equi-join still
+  *   bounds candidates, but every cell's files are read). Results are
+  *   identical ABSENT cross-cell re-puts: an id re-put into a cell
+  *   outside the probe set serves its newest PROBED row on the pruned
+  *   path but its globally newest row unpruned — `remove()+put()` is
+  *   the exact-replace path either way. Exists so the serving
+  *   benchmark can measure what the pruning is worth in bytes and
+  *   wall time; leave `true` in use. */
 class IvfIndex(spark: SparkSession, path: String,
                nCells: Int = 256, nProbe: Int = 8,
                iters: Int = 10, sampleCap: Int = 4096,
@@ -125,13 +129,37 @@ class IvfIndex(spark: SparkSession, path: String,
     * presumed to have drifted the cell balance (recall and pruning
     * selectivity both degrade) and a refit runs as part of the put —
     * geometrically amortised, like capacity-doubling rehash. */
+  // memo: (confirmed distinct ids, manifest row count at confirmation)
+  // — see IncrementalIndex.maybeAutoRefit for the bounding argument
+  // (re-puts keep one row per batch, so rows only upper-bound ids)
+  private var confirmedIds: Option[(Long, Long)] = None
+
+  /** Growth check, cheapest-evidence-first: manifest row count (one
+    * file read, no Spark job) → memo-tightened distinct upper bound →
+    * an exact distinct count only when the bound crosses AND rows grew
+    * `autoRefitGrowth`× since the last confirmation (geometric backoff
+    * — see IncrementalIndex.maybeAutoRefit; re-puts grow rows per put,
+    * so an unbacked-off confirm would run per put). */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0 && Fs.exists(bookPath, hconf))
       fitSizeFrom(bookPath).foreach { atFit =>
-        // manifest read, NOT a per-put full-store count: a count job
-        // lists every batch dir of a 10^9-row store on every streaming
-        // micro-batch (the manifest is one small sibling file)
-        if (store.rowCount() >= autoRefitGrowth * atFit) refit()
+        val rows = store.rowCount()
+        confirmedIds.foreach { case (_, rows0) =>
+          if (rows < rows0) confirmedIds = None
+        }
+        val needConfirm = confirmedIds match {
+          case Some((d0, rows0)) =>
+            d0 + (rows - rows0) >= autoRefitGrowth * atFit &&
+              rows >= autoRefitGrowth * rows0
+          case None => rows >= autoRefitGrowth * atFit
+        }
+        if (needConfirm) {
+          val distinct = store.all().select("id").distinct().count()
+          if (distinct >= autoRefitGrowth * atFit) {
+            refit()
+            confirmedIds = None
+          } else confirmedIds = Some((distinct, rows))
+        }
       }
 
   /** Consolidate batches ≤ `upTo` into one directory, applying
@@ -142,11 +170,7 @@ class IvfIndex(spark: SparkSession, path: String,
     * checkpoint's committed watermark). */
   def compact(upTo: Long): Unit = {
     ensureRefitComplete()
-    val w = Window.partitionBy("id")
-    store.compact(upTo)(df => df
-      .withColumn("__mb", max(col("batch")).over(w))
-      .filter(col("batch") === col("__mb"))
-      .drop("__mb"))
+    store.compact(upTo)(graft.ckpt.BatchStore.latestBatchRows(_, "id"))
   }
 
   /** Remove by id: anti-join rewrite, atomic swap. */

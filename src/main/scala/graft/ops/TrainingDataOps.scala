@@ -238,12 +238,23 @@ object TrainingDataOps {
     val bwin = bench
       .select(explode(tokenWindows(col(benchTextCol), n)).as("__w"))
       .distinct()
-    val nWin = bwin.count()
+    // the guard reads an arithmetic UPPER bound — total windows =
+    // Σ max(0, tokens − n + 1) — from one plain scan of the small
+    // side: no explode, no distinct shuffle, and bwin itself is not
+    // computed twice (an exact distinct count would materialise the
+    // window set once for the guard and again for the join, doubling
+    // precisely the oversized case the guard exists for). Overcounting
+    // duplicates only errs toward the fallback, which is
+    // result-identical.
+    val nWin = bench.select(coalesce(sum(greatest(
+        size(split(col(benchTextCol), " ")) - (n - 1), lit(0))), lit(0L))
+        .cast("long"))
+      .collect()(0).getLong(0)
     val joinSide =
       if (nWin <= maxBroadcastWindows) broadcast(bwin)
       else {
         System.err.println(s"[graft] decontaminate: benchmark set has " +
-          s"$nWin distinct $n-token windows > maxBroadcastWindows=" +
+          s"up to $nWin $n-token windows > maxBroadcastWindows=" +
           s"$maxBroadcastWindows — falling back to a shuffle semi-join " +
           "(same results; the corpus windows shuffle once)")
         // strip any planner temptation to broadcast a side this big

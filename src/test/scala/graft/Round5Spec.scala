@@ -99,6 +99,55 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
     assert(st.rowCount() === 3L)
   }
 
+  test("rowCount manifest rebuild converges with an EMPTY batch present " +
+    "(no perpetual re-count)") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val st = new BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a")).toDF("id", "v"), 0L)
+    st.writeBatch(Seq.empty[(Long, String)].toDF("id", "v"), 1L) // rows-less trigger
+    Fs.deleteIfExists(s"$root.rows", hconf) // lose the manifest
+    assert(st.rowCount() === 1L) // rebuild must seed batch 1 with 0
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(st.rowCount() === 1L)
+      Thread.sleep(1500)
+      assert(jobs.get() === 0,
+        "a rebuilt manifest missing the empty batch id would re-run " +
+          "the full-store count on every later call")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("auto-refit is driven by DISTINCT identity growth: a re-put-heavy " +
+    "stream does not refit an unchanged corpus, genuine growth still does") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir,
+      autoRefitGrowth = 2.0)
+    val docs4 = (0 until 4).map(i =>
+      (s"u$i", doc("a" + ('a' + i).toChar))).toDF("url", "text")
+    idx.put(docs4)
+    val statsAt = Fs.modifiedMs(s"$dir/stats", hconf).get
+    Thread.sleep(1100) // mtime granularity
+    // re-puts: rows grow 4 -> 16 while distinct docs stay 4 < 2x4
+    (1 to 3).foreach(_ => idx.put(docs4))
+    assert(Fs.modifiedMs(s"$dir/stats", hconf).get === statsAt,
+      "re-puts of the same identities must not trigger a stats refit")
+    // genuine growth: 16 fresh docs -> distinct 20 >= 8 (and rows pass
+    // the geometric reconfirm backoff)
+    idx.put((0 until 16).map(i =>
+      (s"w$i", doc("b" + ('a' + i).toChar))).toDF("url", "text"))
+    assert(Fs.modifiedMs(s"$dir/stats", hconf).get > statsAt,
+      "genuine distinct growth past the threshold must refit")
+  }
+
   // ---- lease heartbeat + stale break ----
 
   test("the lease heartbeat keeps a mutation LONGER than the TTL alive " +
