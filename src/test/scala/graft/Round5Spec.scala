@@ -148,6 +148,33 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
       "genuine distinct growth past the threshold must refit")
   }
 
+  test("IvfIndex auto-refit is driven by DISTINCT id growth too: " +
+    "re-puts leave the codebook alone, genuine growth refits") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/ivf"
+    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 4, nProbe = 2,
+      autoRefitGrowth = 2.0)
+    def vecs(n: Int, off: Long = 0L) = (0 until n).map(i =>
+      (i + off, graft.data.SyntheticVectors.vectorOf(i + off, 16)))
+      .toDF("id", "vec")
+    idx.put(vecs(20))            // codebook fitted at n=20
+    val bookAt = Fs.modifiedMs(s"$dir/codebook", hconf).get
+    Thread.sleep(1100)           // mtime granularity
+    // rows grow 20 -> 80 while distinct ids stay 20 < 2x20
+    (1 to 3).foreach(_ => idx.put(vecs(20)))
+    assert(Fs.modifiedMs(s"$dir/codebook", hconf).get === bookAt,
+      "re-puts of the same ids must not refit the codebook")
+    // genuine growth: 80 fresh ids -> distinct 100 >= 2x20, and rows
+    // 160 >= 2x80 clear the geometric reconfirm backoff (the last
+    // confirm ran at rows=80; a smaller growth batch would be DEFERRED
+    // to the next put by design — the backoff trades at most one
+    // growth factor of refit lag for not paying a distinct-count job
+    // per re-put)
+    idx.put(vecs(80, 20L))
+    assert(Fs.modifiedMs(s"$dir/codebook", hconf).get > bookAt,
+      "genuine distinct growth past the threshold must refit")
+  }
+
   // ---- lease heartbeat + stale break ----
 
   test("the lease heartbeat keeps a mutation LONGER than the TTL alive " +
