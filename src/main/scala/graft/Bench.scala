@@ -252,18 +252,28 @@ object Bench {
     canaryGbps() // canary JIT warmup — first reading is cold
     val idleBw = (1 to 3).map(_ => canaryGbps()).max
     val bwRefSeed = math.min(55.0, 0.85 * idleBw)
-    // learning cap: one freak in-run reading can never permanently
-    // raise the bar past reachable-clean; never BELOW 70 so a degraded
-    // startup cannot clamp down a previously learned reference
+    // learning cap (write-side only — see the bwRef read below): one
+    // freak in-run reading can never permanently raise the bar past
+    // reachable-clean; floored at 70 so a degraded startup's idle
+    // reading cannot cap learning below this host's proven range
     val bwRefCap = math.max(70.0, 0.85 * idleBw)
     System.err.println(f"[bench] idle canary $idleBw%.0f GB/s -> " +
       f"bw-ref seed $bwRefSeed%.0f (cap $bwRefCap%.0f)")
     val bwRefPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BW_REF", "bench-bw-ref.txt"))
+    // the learning cap (bwRefCap) applies when PERSISTING a new
+    // reference, never when reading one back: re-clamping a previously
+    // learned value with THIS startup's cap would let a degraded
+    // startup window (idle 60 vs a clean run's 100) lower the
+    // cross-run bar and self-bless samples from the same depressed
+    // window — the exact failure mode the persisted reference exists
+    // to prevent. The read is bounded only by a fixed sanity ceiling
+    // (no single-socket host this harness targets streams 200 GB/s; a
+    // corrupted file must not set a bar no sample can ever clear).
     val bwRef: Double = (try {
       new String(java.nio.file.Files.readAllBytes(bwRefPath), "UTF-8")
         .trim.toDouble
-    } catch { case _: Throwable => bwRefSeed }).max(bwRefSeed).min(bwRefCap)
+    } catch { case _: Throwable => bwRefSeed }).max(bwRefSeed).min(200.0)
 
     // ---- phase 1: per-query timings at 4N cores ----
     // (SPARK_GRAFT_BENCH_QUERIES=0 skips it — scaling-iteration use)
@@ -511,10 +521,16 @@ object Bench {
       ran = false
       levels.foreach { l =>
         if (l.wantsRun) {
-          // wall guard: a level's FIRST attempt always runs (pick()
-          // needs one sample to exist); replenish attempts only while
-          // the estimated cost still fits the budget
-          if (l.samples.isEmpty || elapsedSec + l.estAttemptSec <= wallBudget) {
+          // wall guard: a level's FIRST ATTEMPT always runs (pick()
+          // needs one sample to exist); every later attempt — including
+          // retries of CRASHED attempts, whose estAttemptSec is 0
+          // because no sample exists to estimate from — must fit the
+          // budget. (Exempting sample-less levels instead of
+          // first-attempt levels let a level whose attempts kept
+          // failing burn its whole attempt cap past the budget —
+          // reproducing the rc=124 driver kill the guard exists to
+          // prevent.)
+          if (l.attempts == 0 || elapsedSec + l.estAttemptSec <= wallBudget) {
             l.attempt(sfDir, synthetic); ran = true
           } else {
             wallTripped = true
@@ -563,6 +579,37 @@ object Bench {
     if (bwRefOut > bwRef) try {
       java.nio.file.Files.write(bwRefPath, f"$bwRefOut%.1f%n".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // a level whose every attempt crashed has no sample to pick — ship
+    // an honest failure artifact instead of throwing past the JSON
+    // print (an uncaught require here loses the whole artifact: the
+    // round-4 failure mode, rc=124 with no JSON line)
+    val deadLevels = (lvlS.map(l => ("s", l)) ++
+      Seq(("n", lvlN), ("4n", lvl4N))).filter(_._2.samples.isEmpty)
+    if (deadLevels.nonEmpty) {
+      val failed = deadLevels.map { case (nm, l) =>
+        s""""$nm":"all ${l.attempts} attempts failed at cores=${l.cores}""""
+      }.mkString("{", ",", "}")
+      val qsF = queryTimes.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }
+        .mkString("{", ",", "}")
+      val errsF = queryErrors.map { case (k, v) => s""""$k":"$v"""" }
+        .mkString("{", ",", "}")
+      println(
+        s"""{"metric":"dedup_docs_per_sec","value":0.0,"unit":"docs/sec",""" +
+        s""""queries":$qsF,"errors":$errsF,"sf":"$sfDir",""" +
+        s""""level_failed":$failed,""" +
+        s""""bw_idle":${"%.1f".format(idleBw)},""" +
+        s""""wall_sec":${"%.0f".format(elapsedSec)},""" +
+        s""""wall_budget_sec":${"%.0f".format(wallBudget)},""" +
+        s""""wall_guard_tripped":$wallTripped}""")
+      System.out.flush()
+      val halterF = new Thread(() => {
+        try Thread.sleep(30000) catch { case _: InterruptedException => () }
+        Runtime.getRuntime.halt(1)
+      })
+      halterF.setDaemon(true)
+      halterF.start()
+      sys.exit(1)
+    }
     val (docsN, secN, stealN, slowN, attN, cleanN) = lvlN.pick
     val (docs4N, sec4N, steal4N, slow4N, att4N, clean4N) = lvl4N.pick
     val thrN = docsN / secN

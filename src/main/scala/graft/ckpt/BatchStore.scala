@@ -74,24 +74,37 @@ final class BatchStore(spark: SparkSession, root: String,
 
   /** Total stored rows. No Spark job when the manifest covers the
     * current batch set (one small file read); a missing or stale
-    * manifest is rebuilt with ONE grouped count job and persisted. */
+    * manifest is rebuilt with ONE grouped count job and persisted —
+    * the persist runs UNDER the writer lease (a reader's recount racing
+    * a writer's batch overwrite could otherwise land a stale per-batch
+    * count AFTER the writer's fresh one, with a matching keySet that no
+    * later call would ever re-check). When the lease is busy the count
+    * is served without persisting: the next uncontended call rebuilds. */
   def rowCount(): Long = {
+    // seed every listed batch id: an EMPTY batch dir (a rows-less
+    // streaming trigger) produces no groupBy row, and a manifest
+    // missing its id would fail the keySet check forever — every
+    // later call re-running the full count the manifest exists to
+    // avoid
+    def rebuild(ids: Set[Long]): Map[Long, Long] = {
+      val counted = all().groupBy("batch").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      ids.map(id => id -> counted.getOrElse(id, 0L)).toMap
+    }
     val ids = batchIds().toSet
     if (ids.isEmpty) 0L
     else {
       val m = readRowCounts()
       if (m.keySet == ids) m.values.sum
-      else {
-        // seed every listed batch id: an EMPTY batch dir (a rows-less
-        // streaming trigger) produces no groupBy row, and a manifest
-        // missing its id would fail the keySet check forever — every
-        // later call re-running the full count the manifest exists to
-        // avoid
-        val counted = all().groupBy("batch").count().collect()
-          .map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val counts = ids.map(id => id -> counted.getOrElse(id, 0L)).toMap
-        writeRowCounts(counts)
-        counts.values.sum
+      else try withLease {
+        // re-read under the lease: the writer we raced may have
+        // completed the manifest while we waited for the claim
+        val ids2 = batchIds().toSet
+        val m2 = readRowCounts()
+        if (m2.keySet == ids2) m2.values.sum
+        else { val c = rebuild(ids2); writeRowCounts(c); c.values.sum }
+      } catch {
+        case _: java.io.IOException => rebuild(ids).values.sum
       }
     }
   }
@@ -125,21 +138,35 @@ final class BatchStore(spark: SparkSession, root: String,
     * created or heartbeated lock reads young on the re-read), the
     * claim is verified by re-reading the lock content after a short
     * grace (a claimant whose unique token is gone lost the race and
-    * fails loudly), and the heartbeat keeps LIVE leases far from the
+    * fails loudly; both run only when a lock was OBSERVED at entry —
+    * an uncontended claim has no breaker to race and skips the
+    * grace), and the heartbeat keeps LIVE leases far from the
     * TTL so only genuinely crashed holders ever look stale — size the
     * TTL well above any heartbeat pause (GC, host stall). The
     * heartbeat refreshes the lock mtime at ttl/4 while `f` runs, so a
     * legitimate mutation longer than the TTL (a full-store rewrite at
     * 10^9 rows) is not broken as stale mid-hold. */
   def withLease[T](f: => T): T = {
-    Fs.modifiedMs(lockPath, hconf).foreach { ts =>
-      // re-read right before the delete: narrows (not closes — the
-      // ownership verify below is the real guard) the window where two
-      // breakers act on one stale reading
-      if (System.currentTimeMillis() - ts > leaseTtlMs &&
-          Fs.modifiedMs(lockPath, hconf).exists(t2 =>
-            System.currentTimeMillis() - t2 > leaseTtlMs))
-        Fs.deleteIfExists(lockPath, hconf) // break a crashed writer's lease
+    // `sawLock`: a break race needs a breaker, and a breaker only acts
+    // on a lock it observed as stale — if NO lock existed at entry, any
+    // concurrent claimant goes through createExclusive like us and
+    // exactly one wins, no delete in flight. The grace+verify below is
+    // therefore gated on having seen a lock: the common uncontended
+    // claim (every streaming micro-batch pays 2-3 of them) skips the
+    // 50 ms sleep. (A delete pended by a breaker whose OWN stale
+    // reading predates a third writer's break would need ≥3 concurrent
+    // writers on a single-writer store — out of contract.)
+    val sawLock = Fs.modifiedMs(lockPath, hconf) match {
+      case Some(ts) =>
+        // re-read right before the delete: narrows (not closes — the
+        // ownership verify below is the real guard) the window where
+        // two breakers act on one stale reading
+        if (System.currentTimeMillis() - ts > leaseTtlMs &&
+            Fs.modifiedMs(lockPath, hconf).exists(t2 =>
+              System.currentTimeMillis() - t2 > leaseTtlMs))
+          Fs.deleteIfExists(lockPath, hconf) // break a crashed writer's lease
+        true
+      case None => false
     }
     val token = s"${System.currentTimeMillis()} ${java.util.UUID.randomUUID()}"
     if (!Fs.createExclusive(lockPath, token, hconf))
@@ -147,14 +174,36 @@ final class BatchStore(spark: SparkSession, root: String,
         s"BatchStore at $root: another writer holds the lease ($lockPath) — " +
         s"concurrent mutation is single-writer by contract; a crashed " +
         s"holder's lease expires after ${leaseTtlMs / 1000} s")
-    // grace before the verify: a racing breaker's delete would have to
-    // land MORE than this after its own staleness re-read to slip past
-    // undetected — its delete follows that re-read by microseconds
-    Thread.sleep(50)
+    // From here the lock exists and is OURS unless a break race steals
+    // it — every failure path must release it iff it still carries our
+    // token (deleting unconditionally could remove the racing winner's
+    // fresh lock; not deleting leaks ours for a full TTL).
+    def releaseIfOurs(): Unit =
+      try {
+        if (Fs.readString(lockPath, hconf) == token)
+          Fs.deleteIfExists(lockPath, hconf)
+      } catch { case _: Exception => () }
     val owned =
-      try Fs.readString(lockPath, hconf) == token
-      catch { case _: java.io.IOException => false }
+      try {
+        if (sawLock) {
+          // grace before the verify: a racing breaker's delete would
+          // have to land MORE than this after its own staleness re-read
+          // to slip past undetected — its delete follows that re-read
+          // by microseconds
+          Thread.sleep(50)
+          // one retry on a transient read failure before concluding the
+          // lock is lost — a false "lost" here would strand OUR live
+          // lock for a full TTL
+          try Fs.readString(lockPath, hconf) == token
+          catch { case _: java.io.IOException =>
+            Fs.readString(lockPath, hconf) == token }
+        } else true
+      } catch {
+        case e: Throwable => releaseIfOurs(); throw e
+      }
     if (!owned)
+      // the file now carries the racing winner's token — theirs to
+      // delete, not ours
       throw new java.io.IOException(
         s"BatchStore at $root: lost the stale-lease break race for " +
         s"$lockPath — another writer claimed it concurrently")
@@ -170,8 +219,10 @@ final class BatchStore(spark: SparkSession, root: String,
       }
     })
     beat.setDaemon(true)
-    beat.start()
-    try f finally {
+    try {
+      beat.start()
+      f
+    } finally {
       beating = false
       beat.interrupt()
       beat.join(1000)

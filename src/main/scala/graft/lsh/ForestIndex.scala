@@ -102,10 +102,16 @@ class ForestIndex(spark: SparkSession, path: String,
   }
 
   /** The stored (id, sig, batch) rows — one per document (the rot=0
-    * storage row carries the unrotated signature). */
+    * storage row carries the unrotated signature), resolved
+    * last-put-wins: a re-put id appears ONCE with its newest
+    * signature, the same identity rule probe()/search() serve — an
+    * unresolved export would double-count documents and re-index the
+    * superseded signature. */
   def all(): DataFrame = {
     requireServingLayout()
-    store.all().filter(col("rot") === 0).select("id", "sig", "batch")
+    graft.ckpt.BatchStore.latestBatchRows(
+      store.all().filter(col("rot") === 0).select("id", "sig", "batch"),
+      "id")
   }
 
   /** Top-k Hamming neighbours against the stored forest (reference

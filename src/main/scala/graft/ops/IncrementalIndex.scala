@@ -353,7 +353,15 @@ class IncrementalIndex(spark: SparkSession, path: String,
     require(all.columns.contains("tf"),
       "this index predates the refit-capable layout (no stored tf " +
         "column) — rebuild it with put() to enable refit")
-    val newStats = DedupPipeline.fitCorpusStats(all, cfg)
+    // fit over the LIVE corpus (latest-batch-resolved): superseded
+    // re-put rows would skew the df-conditioning toward re-put-heavy
+    // documents, and — unit consistency with [[maybeAutoRefit]] —
+    // stats.n must count live identities, not stored rows, or the
+    // distinct-id trigger's threshold ratchets by the duplication
+    // factor after every refit (same defect shape as IvfIndex.refit,
+    // fixed together)
+    val newStats = DedupPipeline.fitCorpusStats(
+      graft.ckpt.BatchStore.latestBatchRows(all, "doc_id"), cfg)
     // the marker publish is itself atomic: a crash DURING the parquet
     // write must not leave a half-written marker that ensureClean
     // would then try to replay from

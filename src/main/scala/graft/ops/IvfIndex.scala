@@ -194,12 +194,21 @@ class IvfIndex(spark: SparkSession, path: String,
   def refit(): Unit = {
     require(!isEmpty, "refit() on an empty index")
     ensureRefitComplete()
-    val all = store.all()
-    val n = all.count()
+    // fit over the LIVE corpus (latest-batch-resolved, one row per
+    // live id): a fresh build would only ever see each id's newest
+    // vector, and — unit consistency with [[maybeAutoRefit]] — the
+    // recorded fit size must count identities, not rows. Recording
+    // raw rows would ratchet the refit threshold by the re-put
+    // duplication factor (refit at 1k ids across 5k rows stamps 5k;
+    // the next refit then waits for growth×5k ids instead of
+    // growth×1k, drifting the codebook indefinitely in exactly the
+    // re-put workload the distinct trigger exists for).
+    val live = graft.ckpt.BatchStore.latestBatchRows(store.all(), "id")
+    val n = live.count()
     // same small-corpus clamp as the first fit: the book grows back
     // toward the configured nCells as the stored corpus does
     val eff = math.max(1L, math.min(nCells.toLong, n)).toInt
-    val book = Ivf.fitCentroids(all, "id", "vec", eff, iters, sampleCap)
+    val book = Ivf.fitCentroids(live, "id", "vec", eff, iters, sampleCap)
     Fs.publishByRename(bookNextPath, hconf)(saveBookTo(_, book, n))
     completeRefit(book)
   }

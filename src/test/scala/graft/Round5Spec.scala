@@ -349,4 +349,94 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
       .select("match_url").as[String].collect().toSet
     assert(m === Set("u2"))
   }
+
+  // ---- refit stamps its fit size in LIVE identities, not rows ----
+  // (a rows-unit stamp would ratchet the next auto-refit threshold by
+  // the re-put duplication factor: refit at 20 ids across 80 rows
+  // stamps 80, and the next refit then waits for growth×80 ids)
+
+  test("IvfIndex.refit() on a re-put-heavy store stamps live identities: " +
+    "the next genuine growth still auto-refits at the intended threshold") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/ivf"
+    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 4, nProbe = 2,
+      autoRefitGrowth = 2.0)
+    def vecs(n: Int, off: Long = 0L) = (0 until n).map(i =>
+      (i + off, graft.data.SyntheticVectors.vectorOf(i + off, 16)))
+      .toDF("id", "vec")
+    idx.put(vecs(20))
+    (1 to 3).foreach(_ => idx.put(vecs(20))) // 80 rows, 20 live ids
+    idx.refit() // must stamp 20 (live), not 80 (rows)
+    val bookAt = Fs.modifiedMs(s"$dir/codebook", hconf).get
+    Thread.sleep(1100) // mtime granularity
+    // 80 fresh ids: distinct 100 >= 2×20 clears the (live-unit)
+    // threshold, and rows 160 >= 2×80 clear the geometric reconfirm
+    // backoff. Against a rows-unit stamp (atFit=80) the distinct
+    // bound 100 < 160 would defer the refit indefinitely.
+    idx.put(vecs(80, 20L))
+    assert(Fs.modifiedMs(s"$dir/codebook", hconf).get > bookAt,
+      "genuine distinct growth past growth×LIVE must refit")
+  }
+
+  test("IncrementalIndex.refit() on a re-put-heavy store stamps live " +
+    "docs: the next genuine growth still auto-refits at the intended " +
+    "threshold") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir,
+      autoRefitGrowth = 2.0)
+    val docs4 = (0 until 4).map(i =>
+      (s"u$i", doc("a" + ('a' + i).toChar))).toDF("url", "text")
+    idx.put(docs4)
+    (1 to 3).foreach(_ => idx.put(docs4)) // 16 rows, 4 live docs
+    idx.refit() // must stamp 4 (live), not 16 (rows)
+    val statsAt = Fs.modifiedMs(s"$dir/stats", hconf).get
+    Thread.sleep(1100)
+    // 16 fresh docs: distinct 20 >= 2×4 clears the live-unit
+    // threshold, rows 32 >= 2×16 clear the reconfirm backoff; a
+    // rows-unit stamp (16) would need distinct >= 32 and never refit
+    idx.put((0 until 16).map(i =>
+      (s"w$i", doc("b" + ('a' + i).toChar))).toDF("url", "text"))
+    assert(Fs.modifiedMs(s"$dir/stats", hconf).get > statsAt,
+      "genuine distinct growth past growth×LIVE must refit")
+  }
+
+  // ---- ForestIndex.all() resolves identities ----
+
+  test("ForestIndex.all() serves one row per document after a re-put, " +
+    "carrying the newest signature") {
+    import spark.implicits._
+    import graft.hash.HashKernels.mix64
+    val dir = s"${freshDir()}/forest"
+    val f = new graft.lsh.ForestIndex(spark, dir)
+    f.put((1L to 5L).map(i => (i, mix64(i))).toDF("id", "sig"))
+    f.put(Seq((3L, mix64(333L))).toDF("id", "sig")) // the update
+    val rows = f.all().select("id", "sig")
+      .as[(Long, Long)].collect().toMap
+    assert(rows.size === 5, "all() must resolve re-puts to one row per id")
+    assert(rows(3L) === mix64(333L), "the NEWEST signature must be served")
+  }
+
+  // ---- rowCount under a busy lease: serve, don't persist ----
+
+  test("rowCount() with a stale manifest under a BUSY lease serves the " +
+    "correct count without persisting; the next uncontended call persists") {
+    import spark.implicits._
+    val root = s"${freshDir()}/store"
+    val st = new BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    Fs.deleteIfExists(s"$root.rows", hconf) // stale (missing) manifest
+    val holder = new BatchStore(spark, root)
+    holder.withLease {
+      // a reader's recount racing a writer must NOT write the manifest
+      // (its counts could be stale against the writer's in-flight
+      // batch overwrite) — it serves the count and leaves persistence
+      // to an uncontended call
+      assert(st.rowCount() === 2L)
+      assert(!Fs.exists(s"$root.rows", hconf),
+        "rowCount must not persist the manifest without the lease")
+    }
+    assert(st.rowCount() === 2L) // uncontended: rebuilds AND persists
+    assert(Fs.exists(s"$root.rows", hconf))
+  }
 }
