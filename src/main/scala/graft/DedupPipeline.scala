@@ -197,9 +197,18 @@ object DedupPipeline {
     * set — broadcast when the set is small enough (corpus-count guard),
     * shuffle otherwise; either way the fat columns never ride the
     * text_hash exchange. */
-  def exactDedup(extracted: DataFrame): (DataFrame, DataFrame) = {
+  def exactDedup(extracted: DataFrame,
+                 cfg: DedupConfig = DedupConfig()): (DataFrame, DataFrame) = {
     val edges = exactDupEdges(extracted)
-    (edges, exactDupReps(extracted, edges, broadcastDups = true))
+    // the broadcast decision MUST come from the measured dup count
+    // (exactDupReps' own contract): a web corpus's exact-mirror
+    // population is in the billions — an unconditional broadcast hint
+    // builds it on the driver and OOMs. One slim count job is the
+    // price of the convenience API; run() measures the same count
+    // anyway.
+    val nDups = edges.count()
+    (edges, exactDupReps(extracted, edges,
+      broadcastDups = nDups <= cfg.broadcastIdLimit))
   }
 
   /** Exact-dup edges alone (the slim canon window). */
@@ -382,6 +391,23 @@ object DedupPipeline {
     * (`/root/reference/index.go:198-255` semantics: true-metric check on
     * retrieved candidates): Jaccard over shingle sets ≥ τ, OR Hamming
     * over SimHash ≤ maxHamming bits. */
+  /** Semi-filter `payload` (keyed `doc_id`) to the member ids of the
+    * candidate pairs `cands` (columns `a`, `b`) — broadcast-hinted when
+    * `broadcast` says the MEASURED pair count fits
+    * [[DedupConfig.broadcastIdLimit]]. The single implementation shared
+    * by [[verifyPairs]] and [[graft.substr.SuffixArrayStage
+    * .substringEdges]]: both verify paths ship only pair members' fat
+    * payloads through their exchanges, and a fix to the guard logic
+    * lands in both or neither. */
+  def memberSemiFilter(cands: DataFrame, payload: DataFrame,
+                       broadcast: Boolean): DataFrame = {
+    import cands.sparkSession.implicits._
+    val ids0 = cands.select($"a".as("doc_id"))
+      .union(cands.select($"b".as("doc_id"))).distinct()
+    val ids = if (broadcast) ids0.hint("broadcast") else ids0
+    payload.join(ids, Seq("doc_id"), "left_semi")
+  }
+
   def verifyPairs(cands: DataFrame, sigs: DataFrame, cfg: DedupConfig,
                   broadcastMembers: Boolean = true): DataFrame = {
     import cands.sparkSession.implicits._
@@ -394,12 +420,7 @@ object DedupPipeline {
     // count vs broadcastIdLimit (see run()): past the limit the
     // semi-join is a planner-chosen shuffle join — one fat exchange of
     // sigs instead of two, never a driver-side build of a giant id set.
-    val memberIds0 = cands.select($"a".as("doc_id"))
-      .union(cands.select($"b".as("doc_id"))).distinct()
-    val memberIds = if (broadcastMembers) memberIds0.hint("broadcast")
-                    else memberIds0
-    val side = sigs
-      .join(memberIds, Seq("doc_id"), "left_semi")
+    val side = memberSemiFilter(cands, sigs, broadcastMembers)
       .select(col("doc_id"), col("shingles"), col("simhash"))
     val a = side.toDF("a", "sh_a", "sig_a")
     val b = side.toDF("b", "sh_b", "sig_b")

@@ -583,7 +583,8 @@ object SparkEntry {
           .stripMargin.replace("\n", ""),
 
       "q_fingerprint" ->
-        s"SELECT doc_id, md5(array_to_string($tokSql, ' ')) AS fp FROM documents",
+        (s"SELECT doc_id, md5(array_to_string(list_filter($tokSql, " +
+          "x -> x <> ''), ' ')) AS fp FROM documents"),
 
       "q_tf" ->
         s"""SELECT doc_id, term, count(*) AS tf FROM

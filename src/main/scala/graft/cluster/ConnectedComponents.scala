@@ -45,6 +45,20 @@ object ConnectedComponents {
     s"connected components did not converge in $iters iterations; " +
       "raise maxIter (diameter/log2 bound) or check for degenerate input")
 
+  /** Free a localCheckpoint's persisted blocks NOW. `Dataset.unpersist`
+    * is a NO-OP for checkpointed frames: localCheckpoint persists the
+    * internal RDD directly (LocalRDDCheckpointData), not through the
+    * cache manager that unpersist talks to — so without this, every
+    * iteration's corpus-node-sized label snapshot stays pinned in
+    * executor storage until the driver happens to GC the RDD
+    * reference (up to maxIter full snapshots on a web-scale run). */
+  private def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+
   def run(edges: DataFrame, maxIter: Int = 20,
           smallGraphThreshold: Long = smallGraphEdges): DataFrame = {
     val spark = edges.sparkSession
@@ -89,12 +103,16 @@ object ConnectedComponents {
       val nextPot = potential(next)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] iter $iter ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      labels.unpersist()
+      freeLocalCheckpoint(labels)
       labels = next
       converged = nextPot.compareTo(pot) == 0
       pot = nextPot
       iter += 1
     }
+    // the edge snapshot is dead once the loop exits (the returned
+    // labels frame is its own materialised LogicalRDD); the final
+    // labels stay persisted for the caller to consume
+    freeLocalCheckpoint(sym)
     if (!converged) throw new NonConvergence(maxIter)
     labels
   }

@@ -43,6 +43,11 @@ object Lsh {
     * buckets (random collisions grow O(n²/2^bits)); prefer
     * [[simhashNeighborPairs]] beyond ~10^5 docs. */
   def simhashBandKeys(sig64: Column, tables: Int, bits: Int): Column = {
+    require(tables * bits <= 64,
+      s"simhashBandKeys: tables*bits = ${tables * bits} exceeds the 64-bit " +
+        "signature — Java shift counts mask mod 64, so the overflow bands " +
+        "would silently ALIAS low-bit windows (correlated bands, recall " +
+        "bound void) instead of failing")
     val mask = (1L << bits) - 1
     // unrolled (tables is small and static) — keeps shift amounts literal
     array((0 until tables).map { i =>

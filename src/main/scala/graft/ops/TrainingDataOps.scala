@@ -72,9 +72,14 @@ object TrainingDataOps {
   // the fold nests their `when` outermost.
 
   /** Document fingerprint: md5 of the whitespace-normalised token
-    * stream — the exact-dup key of the dedup pipeline, exposed as an op. */
+    * stream (repeated/leading/trailing spaces collapsed — empty split
+    * segments are FILTERED, which a bare split+concat_ws round-trip
+    * would preserve byte-for-byte, making the "normalised" claim a
+    * no-op). Content-keyed like the dedup pipeline's exact-dup hash
+    * but WITHOUT its tokeniser/stop-word conditioning — the two keys
+    * are deliberately distinct surfaces. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", split(text, " ")))
+    md5(concat_ws(" ", filter(split(text, " "), t => length(t) > 0)))
 
   /**
    * Brute-force cosine top-k neighbours: the exact baseline every ANN
@@ -115,21 +120,34 @@ object TrainingDataOps {
    * exact cosine. Output: (a_id, b_id, cos) with a_id < b_id.
    * Recall follows the banding bound: a pair at angle θ collides in
    * ≥1 of `tables` bands of `bits` bits with prob
-   * 1 − (1 − (1−θ/π)^bits)^tables — at tau=0.9 and the 16×6 default
-   * that is ≈ 0.9997, and near-dup pairs (cos ≥ 0.99) are ≈ 1 − 1e-11.
+   * 1 − (1 − (1−θ/π)^bits)^tables — at tau=0.9 and the 8×8 default
+   * that is ≈ 0.94, and near-dup pairs (cos ≥ 0.99) are ≈ 0.9999.
+   * `tables·bits` must fit the 64-bit signature (enforced by
+   * [[graft.lsh.Lsh.simhashBandKeys]]): the earlier 16×6 default
+   * silently ALIASED bands 11-15 onto bits 2-31 (Java shift counts
+   * mask mod 64), so the claimed 16-independent-band recall never
+   * held. Buckets are skew-bounded by the same capped single-pass
+   * machinery as the MinHash dedup path ([[graft.lsh
+   * .Lsh.candidatePairs]]: all-pairs up to `maxBucket` members,
+   * skey-chain pairs beyond, aggregation buffers hard-capped) — a
+   * naive band self-join is Θ(n²/2^bits) per band on UNRELATED data
+   * (random 8-bit key collisions alone), and an all-identical-vector
+   * corpus would cross-join entirely without the cap. Ids must be
+   * 64-bit integers (the capped pair machinery collects primitive
+   * longs — the web-scale id contract everywhere in this library).
    */
   def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
-                    tau: Double, tables: Int = 16, bits: Int = 6): DataFrame = {
+                    tau: Double, tables: Int = 8, bits: Int = 8,
+                    maxBucket: Int = 64, chainWidth: Int = 3): DataFrame = {
     val sigs = embeddings.select(col(idCol).as("__id"),
       embeddingSig(col(vecCol)).as("__sig"))
     val b = sigs.select(col("__id"), explode(
         graft.lsh.Lsh.simhashBandKeys(col("__sig"), tables, bits)).as("bk"))
       .select(col("__id"), col("bk.band"), col("bk.key"))
     // id-only pair dedup through the band shuffle; vectors join after
-    val cands = b.toDF("a_id", "band", "key")
-      .join(b.toDF("b_id", "band", "key"), Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val cands = graft.lsh.Lsh
+      .candidatePairs(b, "__id", maxBucket, chainWidth)
+      .toDF("a_id", "b_id")
     cands
       .join(embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av")), "a_id")
       .join(embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv")), "b_id")

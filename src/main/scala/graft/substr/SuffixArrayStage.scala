@@ -188,6 +188,16 @@ object SuffixArrayStage {
                      broadcastIdLimit: Long = 16L << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the winnow guarantee covers runs >= k + window - 1 and k is
+    // floored at 8 (shorter grams random-collide corpus-wide): a
+    // minRun below the floor would SILENTLY weaken the documented
+    // "any shared run >= minRun shares a fingerprint" contract to
+    // ">= 8" — pairs sharing only a 6-char run would never become
+    // candidates, with no signal. Fail loudly instead.
+    require(minRun >= 8,
+      s"substringEdges: minRun=$minRun is below the k=8 fingerprint " +
+        "floor — runs shorter than 8 chars cannot be anchored and the " +
+        "guarantee would silently not hold")
     val k = math.max(8, minRun / 2)
     val window = math.max(1, minRun - k + 1)
 
@@ -210,20 +220,22 @@ object SuffixArrayStage {
         chainWidth, hardCap = hotAnchorDf + 1, dropAbove = hotAnchorDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim pair set is read three times below (two member-id
-    // projections + the join); the count doubles as the broadcast guard
+    // projections + the join); the count doubles as the broadcast
+    // guard. The persist (~16 B/pair, id pairs only) stays registered
+    // until the session sweeps caches (SparkEntry.releaseCaches, or
+    // catalog.clearCache for library users) — it cannot be released
+    // here because the returned frame reads it lazily.
     val nPairs = cands.count()
 
     // only pair members need their text in the verify joins: semi-filter
-    // the corpus first (guarded broadcast, same pattern as
-    // DedupPipeline.verifyPairs) — the unfiltered shape shuffled the
-    // FULL corpus text twice (ta + tb) to verify a few thousand pairs,
-    // and a document appearing in many pairs made those exchanges skew
+    // the corpus first (guarded broadcast — the SHARED
+    // DedupPipeline.memberSemiFilter, so this path and verifyPairs
+    // cannot diverge) — the unfiltered shape shuffled the FULL corpus
+    // text twice (ta + tb) to verify a few thousand pairs, and a
+    // document appearing in many pairs made those exchanges skew
     // (measured: 64-task join stages at effective parallelism ~2).
-    val memberIds0 = cands.select($"a".as("doc_id"))
-      .union(cands.select($"b".as("doc_id"))).distinct()
-    val memberIds = if (2 * nPairs <= broadcastIdLimit)
-      memberIds0.hint("broadcast") else memberIds0
-    val texts = base.join(memberIds, Seq("doc_id"), "left_semi")
+    val texts = graft.DedupPipeline.memberSemiFilter(cands, base,
+      broadcast = 2 * nPairs <= broadcastIdLimit)
 
     // exact SA verification per candidate pair. The repartition AFTER
     // the joins is load-bearing: AQE coalesces the join output by bytes

@@ -439,4 +439,58 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
     assert(st.rowCount() === 2L) // uncontended: rebuilds AND persists
     assert(Fs.exists(s"$root.rows", hconf))
   }
+
+  // ---- band-budget + skew contracts on the embedding LSH family ----
+
+  test("simhashBandKeys rejects tables*bits > 64 (Java shift masking " +
+    "would silently alias the overflow bands onto low-bit windows)") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Seq(1L).toDF("sig").select(
+        graft.lsh.Lsh.simhashBandKeys(col("sig"), 16, 6))
+    }
+    assert(e.getMessage.contains("exceeds the 64-bit"))
+  }
+
+  test("cosineNearDup on an all-identical-vector corpus is chain-" +
+    "bounded, not the O(n^2) cross join") {
+    import spark.implicits._
+    val n = 200
+    val vecs = (0 until n).map(i =>
+      (i.toLong, Seq.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val pairs = graft.ops.TrainingDataOps.cosineNearDup(
+      vecs, "vec_id", "embedding", tau = 0.99,
+      maxBucket = 64, chainWidth = 3)
+    val got = pairs.select("a_id", "b_id").as[(Long, Long)].collect()
+    // chain pairing: ~n*chainWidth pairs instead of n(n-1)/2 = 19900
+    assert(got.length < 1500,
+      s"${got.length} pairs — the mega-bucket was not chain-bounded")
+    // every doc still reachable: the chain keeps the duplicate CLASS
+    // connected for the downstream connected-components resolve
+    val members = got.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(members === (0L until n.toLong).toSet,
+      "chain pairing must keep every member of the class connected")
+  }
+
+  test("substringEdges rejects minRun below the k=8 anchor floor " +
+    "instead of silently weakening its guarantee") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdef"), (2L, "abcdef")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.substr.SuffixArrayStage.substringEdges(docs, "doc_id", "text", 6)
+    }
+    assert(e.getMessage.contains("k=8"))
+  }
+
+  test("fingerprint normalises whitespace for real: repeated/leading/" +
+    "trailing spaces collapse to the same key") {
+    import spark.implicits._
+    val got = Seq(("a b", 1), ("a  b", 2), (" a b ", 3), ("a c", 4))
+      .toDF("text", "i")
+      .select(graft.ops.TrainingDataOps.fingerprint(col("text")).as("fp"))
+      .as[String].collect()
+    assert(got(0) === got(1) && got(0) === got(2),
+      "the same token stream must fingerprint identically")
+    assert(got(0) !== got(3))
+  }
 }
