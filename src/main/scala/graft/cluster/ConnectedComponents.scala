@@ -45,19 +45,11 @@ object ConnectedComponents {
     s"connected components did not converge in $iters iterations; " +
       "raise maxIter (diameter/log2 bound) or check for degenerate input")
 
-  /** Free a localCheckpoint's persisted blocks NOW. `Dataset.unpersist`
-    * is a NO-OP for checkpointed frames: localCheckpoint persists the
-    * internal RDD directly (LocalRDDCheckpointData), not through the
-    * cache manager that unpersist talks to — so without this, every
-    * iteration's corpus-node-sized label snapshot stays pinned in
-    * executor storage until the driver happens to GC the RDD
-    * reference (up to maxIter full snapshots on a web-scale run). */
+  // eager release of superseded iteration snapshots — without it up to
+  // maxIter corpus-node-sized label frames stay pinned (see
+  // Checkpoints.free)
   private def freeLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
+    graft.ckpt.Checkpoints.free(df)
 
   def run(edges: DataFrame, maxIter: Int = 20,
           smallGraphThreshold: Long = smallGraphEdges): DataFrame = {

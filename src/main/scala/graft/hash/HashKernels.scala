@@ -1,11 +1,7 @@
 package graft.hash
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -132,8 +128,12 @@ object HashKernels {
    * reference's LSH chunking, `/root/reference/lsh.go:120-132`).
    * Permutation i is the splitmix64 mix of the shingle xored with a
    * per-permutation seed; the signature element is the minimum over all
-   * shingles. Empty input yields the seeds themselves (a fixed,
-   * non-matching signature).
+   * shingles. Empty input yields the seeds themselves — which means
+   * ALL empty inputs share one signature and would collide in every
+   * band: callers must filter empty shingle sets before banding (the
+   * in-repo producers do — hashedShingles drops empty docs and
+   * FilterNotIn keeps full sets), or every empty doc lands in one
+   * mega-bucket, exactly the skew the capped pairing exists to bound.
    */
   def minhash(shingles: Array[Long], k: Int): Array[Long] = {
     val out = new Array[Long](k)

@@ -158,7 +158,15 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
           s""""nz":[${nZ.mkString(",")}],""" +
           s""""cfg":{"alpha":${cfg.alpha},"eta":${cfg.eta},""" +
           s""""seed":${cfg.seed},"partitions":${cfg.partitions},""" +
-          s""""transformationPasses":${cfg.transformationPasses}}}""",
+          s""""transformationPasses":${cfg.transformationPasses},""" +
+          // transform()'s full hyperparameter surface: burnInDoc reads
+          // the theta schedule and burn-in passes too — a manifest
+          // without them made a LOADED model silently infer different
+          // thetas than the fitted one whenever the fit used
+          // non-default values
+          s""""burnInPasses":${cfg.burnInPasses},""" +
+          s""""sTheta":${cfg.sTheta},"tauTheta":${cfg.tauTheta},""" +
+          s""""kappaTheta":${cfg.kappaTheta}}}""",
         spark.sparkContext.hadoopConfiguration)
     }
   }
@@ -174,9 +182,12 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
       .select(col("__doc"), col("e.term").as("term"),
         col("e.weight").cast("double").as("cnt"))
       .join(theta.withColumnRenamed(docIdCol, "__doc"), "__doc")
-    val (logProb, words) = ex.select(col("term"), col("cnt"), col("theta"))
+    // pid-sorted partials (not reduce): arrival-order Double merges
+    // made the reported perplexity run-to-run nondeterministic at ULP
+    // level — inconsistent with inFitPerplexity, which sorts by pid
+    val parts = ex.select(col("term"), col("cnt"), col("theta"))
       .as[(Long, Double, Seq[Double])]
-      .mapPartitions { it =>
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
         val p = bc.value
         var lp = 0.0
         var wc = 0.0
@@ -187,8 +198,10 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
           lp += (math.log(dot) / math.log(2.0)) * cnt
           wc += cnt
         }
-        Iterator((lp, wc))
-      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        Iterator((pid, lp, wc))
+      }.collect().sortBy(_._1)
+    val logProb = parts.foldLeft(0.0)(_ + _._2)
+    val words = parts.foldLeft(0.0)(_ + _._3)
     math.pow(2.0, -logProb / words)
   }
 }
@@ -205,14 +218,24 @@ object Lda {
       spark.sparkContext.hadoopConfiguration)
     def num(k: String) =
       (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(json).get.group(1)
+    // absent in manifests written before the key existed → the
+    // LdaConfig default (what those models were fitted with)
+    def numOr(k: String, dflt: Double) =
+      (s""""$k":(-?[0-9.eE+-]+)""").r.findFirstMatchIn(json)
+        .map(_.group(1).toDouble).getOrElse(dflt)
     val k = num("k").toInt
     val vocab = num("vocab").toInt
     val nZ = """"nz":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
       .split(",").filter(_.nonEmpty).map(_.toDouble)
+    val dflt = LdaConfig(k = k, vocab = vocab)
     val cfg = LdaConfig(k = k, vocab = vocab,
       alpha = num("alpha").toDouble, eta = num("eta").toDouble,
       seed = num("seed").toLong, partitions = num("partitions").toInt,
-      transformationPasses = num("transformationPasses").toInt)
+      transformationPasses = num("transformationPasses").toInt,
+      burnInPasses = numOr("burnInPasses", dflt.burnInPasses).toInt,
+      sTheta = numOr("sTheta", dflt.sTheta),
+      tauTheta = numOr("tauTheta", dflt.tauTheta),
+      kappaTheta = numOr("kappaTheta", dflt.kappaTheta))
     val nPhi = new Array[Double](vocab * k)
     spark.read.parquet(s"$path/nphi.parquet").collect().foreach { r =>
       val w = r.getLong(0).toInt
@@ -313,9 +336,21 @@ object Lda {
         docState(docs, docIdCol, entriesCol, cfg)
           .repartition(spark.sparkContext.defaultParallelism)
       ).localCheckpoint()
-    val totals = state.map(d => (d.wc, 1L)).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
-    val wordsInCorpus = totals._1
-    val nDocs = totals._2
+    // pid-sorted partials, NOT reduce(): RDD.reduce merges partition
+    // partials in task-COMPLETION order, and a Double sum associated
+    // differently changes wordsInCorpus in the last ULP — which feeds
+    // every sufficient stat (nv = wordsInCorpus*g/nDocs), so two
+    // "identical" fits would diverge bit-by-bit on fractional entry
+    // weights. Same discipline as the stats tree-merge and
+    // inFitPerplexity (integer-valued counts masked this one: they
+    // sum exactly in any order).
+    val totals = state.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var wc = 0.0; var n = 0L
+      it.foreach { d => wc += d.wc; n += 1 }
+      Iterator((pid, wc, n))
+    }.collect().sortBy(_._1)
+    val wordsInCorpus = totals.foldLeft(0.0)(_ + _._2)
+    val nDocs = totals.foldLeft(0L)(_ + _._3)
 
     var rhoThetaT = 1.0
     var rhoPhiT = 1.0
@@ -331,14 +366,18 @@ object Lda {
       val nSlices = (W + sliceT - 1) / sliceT
       // one pass: update thetas, emit per-partition stats partials —
       // one (slice, values) row per TOUCHED vocab slice plus one n̂Z
-      // row (slice −1), never a dense W×K array; doc-state rows and
-      // the stats rows ride the same cached output
+      // row (slice −1), never a dense W×K array. The ACCUMULATOR is
+      // per-slice and lazily allocated too (not a dense W×K Array —
+      // that cost ~210 MB per concurrent task at W=2^18, K=100
+      // regardless of how few slices the partition touches; per-slice
+      // arrays cap task memory at touched×sliceT×K, and each element's
+      // ADDITION ORDER is unchanged, so fits stay bit-identical).
+      // Doc-state rows and the stats rows ride the same cached output.
       val next = state.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val phi = bcPhi.value
         val z = bcZ.value
-        val phiHat = new Array[Double](W * K)
-        val touched = new Array[Boolean](nSlices)
+        val phiSlices = new Array[Array[Double]](nSlices)
         val zHat = new Array[Double](K)
         val gamma = new Array[Double](K)
         val out = it.map { d =>
@@ -353,7 +392,13 @@ object Lda {
           while (i < d.terms.length) {
             val w = d.terms(i)
             val cnt = d.cnts(i)
-            touched(w / sliceT) = true
+            val s = w / sliceT
+            var ph = phiSlices(s)
+            if (ph == null) {
+              ph = new Array[Double](math.min(sliceT, W - s * sliceT) * K)
+              phiSlices(s) = ph
+            }
+            val base = (w - s * sliceT) * K
             var gs = 0.0
             var k = 0
             while (k < K) { // Eqn 5
@@ -368,7 +413,7 @@ object Lda {
               val g = gamma(k) / gs
               d.theta(k) = keep * d.theta(k) + (1.0 - keep) * d.wc * g // Eqn 9
               val nv = wordsInCorpus * g / nDocs // sufficient stats
-              phiHat(w * K + k) += nv
+              ph(base + k) += nv
               zHat(k) += nv
               k += 1
             }
@@ -376,14 +421,14 @@ object Lda {
           }
           (-1, d, 0, null: Array[Double])
         }
-        // the slice rows are built via a lazy flatMap so phiHat is read
-        // only AFTER `out` has consumed every document of the partition
+        // the slice rows are built via a lazy flatMap so the slice
+        // accumulators are read only AFTER `out` has consumed every
+        // document of the partition
         out ++ Iterator.single(()).flatMap { _ =>
-          val slices = Iterator.range(0, nSlices).filter(touched).map { s =>
-            val lo = s * sliceT * K
-            val hi = math.min(W, (s + 1) * sliceT) * K
-            (pid, null: DocState, s, java.util.Arrays.copyOfRange(phiHat, lo, hi))
-          }
+          val slices = Iterator.range(0, nSlices)
+            .filter(phiSlices(_) != null).map { s =>
+              (pid, null: DocState, s, phiSlices(s))
+            }
           slices ++ Iterator((pid, null: DocState, -1, zHat))
         }
       }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -93,6 +93,17 @@ object LshForest {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pending = pending0
 
+    // `found` accumulates each query's candidate set exactly ONCE — at
+    // the round the query LEAVES the expansion (quota met, or the final
+    // round). Prefix shortening is monotone: a (query, doc) pair whose
+    // keys share a p-bit prefix shares every shorter prefix too, so a
+    // still-pending query's current-round candidates are a SUPERSET of
+    // everything earlier rounds found for it. The earlier accumulator
+    // (union + global distinct of the whole history each round)
+    // re-shuffled all previously-found candidates once per round —
+    // O(rounds × |found|) exchange volume for rows the superset
+    // property already guaranteed; the disjoint-by-qid unions here need
+    // no distinct at all.
     var found: DataFrame = null
     var prefixLen = 64
     while (prefixLen >= minPrefix && pending != null) {
@@ -101,34 +112,39 @@ object LshForest {
       // equi-join on (rot, prefix) = one radix level of every tree
       val level = corpus.select(col("rot").as("c_rot"), pfx(col("k")).as("p"),
         col("id"), col("sig"))
+      // localCheckpoint: cands is read by the quota count, the done
+      // semi-join AND the final ranking — without a lineage cut each
+      // reader re-executes the expansion join (the CC-loop lesson)
       val cands = pending
         .join(level,
           pending("rot") === level("c_rot") && pfx(pending("k")) === level("p"))
         .select(col("qid"), col("qsig"), col("id"), col("sig"))
         .filter(col("qid") =!= col("id"))
         .distinct()
-      // localCheckpoint per round: the accumulator is re-read by the
-      // quota filter AND the next round's union — without a lineage cut
-      // every round re-executes the whole expansion history (the CC-loop
-      // lesson; unchecked this ran minutes instead of seconds)
-      found =
-        (if (found == null) cands else found.union(cands).distinct())
-          .localCheckpoint()
-      // superseded checkpointed frames: Dataset.unpersist does NOT free
-      // localCheckpoint blocks (verified empirically — it only clears
-      // CacheManager entries); reclamation happens when the reference
-      // is dropped (the reassignments here) and the ContextCleaner GCs
-      // the underlying RDD. The persist()'d frames (corpus, the initial
-      // pending) ARE eagerly freed after the loop.
+        .localCheckpoint()
+      // cands checkpoints feed the returned frame and are reclaimed by
+      // the ContextCleaner once the result is consumed; superseded
+      // PENDING snapshots are dead the moment the next one lands and
+      // are freed eagerly below.
       if (prefixLen - step >= minPrefix) {
-        // queries whose candidate quota is met leave the expansion
-        val counts = found.groupBy(col("qid").as("done_qid"))
+        // queries whose candidate quota is met leave the expansion,
+        // carrying this round's (maximal-so-far) candidate set
+        val counts = cands.groupBy(col("qid").as("done_qid"))
           .agg(count(lit(1)).as("n")).filter(col("n") >= k)
+        val done = cands.join(counts,
+          cands("qid") === counts("done_qid"), "left_semi")
+        found = if (found == null) done else found.union(done)
         val next = pending
           .join(counts, pending("qid") === counts("done_qid"), "left_anti")
           .localCheckpoint()
+        if (pending ne pending0) graft.ckpt.Checkpoints.free(pending)
         // cheap emptiness probe bounds the loop (log-rounds, not data)
         if (next.isEmpty) pending = null else pending = next
+      } else {
+        // final round: every still-pending query finalizes here
+        found = if (found == null) cands else found.union(cands)
+        if (pending ne pending0) graft.ckpt.Checkpoints.free(pending)
+        pending = null
       }
       prefixLen -= step
     }

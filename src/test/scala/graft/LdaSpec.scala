@@ -222,6 +222,27 @@ class LdaSpec extends AnyFunSuite with SparkSpec {
     assert(a === b, "loaded model must transform identically")
   }
 
+  test("save/load round-trips transform() under a NON-default theta " +
+    "schedule (burnInPasses + sTheta/tauTheta/kappaTheta ride the " +
+    "manifest — a loaded model inferring with default schedule would " +
+    "silently produce different thetas)") {
+    val hot = cfg.copy(iterations = 3, burnInPasses = 2,
+      sTheta = 5.0, tauTheta = 50.0, kappaTheta = 0.8)
+    val m = Lda.fit(corpus, "doc_id", "entries", hot)
+    val dir = java.nio.file.Files.createTempDirectory("ldamodel2").toString
+    m.save(spark, s"$dir/m")
+    val l = Lda.load(spark, s"$dir/m")
+    assert(l.cfg.burnInPasses === hot.burnInPasses &&
+      l.cfg.sTheta === hot.sTheta && l.cfg.tauTheta === hot.tauTheta &&
+      l.cfg.kappaTheta === hot.kappaTheta)
+    val a = m.transform(corpus, "doc_id", "entries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = l.transform(corpus, "doc_id", "entries").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b, "loaded model must transform identically under " +
+      "the fitted schedule")
+  }
+
   test("perplexity of the fitted model beats the uniform model") {
     val model = Lda.fit(corpus, "doc_id", "entries", cfg)
     val p = model.perplexity(corpus, "doc_id", "entries")
