@@ -658,12 +658,12 @@ object SparkEntry {
           |   / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
           |    * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
           |    6) AS cos,
-          |  round(1.0 - acos(least(
+          |  round(1.0 - acos(greatest(least(
           |    list_sum(list_transform(generate_series(1, len(ea)),
           |      i -> ea[i]::DOUBLE * eb[i]::DOUBLE))
           |   / (sqrt(list_sum(list_transform(ea, x -> x::DOUBLE * x::DOUBLE)))
           |    * sqrt(list_sum(list_transform(eb, x -> x::DOUBLE * x::DOUBLE)))),
-          |    1.0)) / pi(), 6) AS angular_sim
+          |    1.0), -1.0)) / pi(), 6) AS angular_sim
           | FROM p""".stripMargin.replace("\n", ""),
 
       "q_quality" ->

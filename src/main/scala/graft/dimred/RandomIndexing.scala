@@ -54,7 +54,15 @@ object RandomIndexing {
           org.apache.spark.sql.functions.transform(
             sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
           (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
-      RiModel(merged, cfg)
+      // localCheckpoint per accretion: the streaming PartialFit
+      // contract calls this once per micro-batch, and an untruncated
+      // chain re-analyzes and recomputes a batch-deep union on every
+      // action (the fit() reflection loop cuts its lineage every cycle
+      // for the same reason). Superseded components' blocks are
+      // reclaimed by the ContextCleaner when the old model's reference
+      // drops — they cannot be freed eagerly here because the caller
+      // may still hold (and serve from) the previous RiModel.
+      RiModel(merged.localCheckpoint(), cfg)
     }
   }
 

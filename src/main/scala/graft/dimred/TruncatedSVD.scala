@@ -18,7 +18,9 @@ object TruncatedSVD {
     val spark = docs.sparkSession
     val (g, _, n) = DimRed.gramAndMeans(docs, docIdCol, entriesCol, d)
     val (vals, vecs) = LinAlg.symEigen(g)
-    val kk = math.min(k, math.min(d, n.toInt))
+    // clamp in LONG space: n.toInt on a >2^31-doc corpus wraps
+    // negative and silently degenerates the model
+    val kk = math.min(k.toLong, math.min(d.toLong, n)).toInt
     val sv = vals.take(kk).map(v => math.sqrt(math.max(0.0, v)))
     DimRedModel(componentsDf(spark, vecs, d, kk), sv, kk)
   }
@@ -76,12 +78,16 @@ object TruncatedSVD {
   }
 
   /** Distributed l×l Gram of a (_, vec[l]) table: per-partition outer
-    * products, single reduce — the only driver-visible object is l×l. */
+    * products merged PID-SORTED on the driver — the only driver-visible
+    * object is l×l per partition. An arrival-order reduce would
+    * associate the Double sums by task-completion order and make the
+    * fitted components bit-nondeterministic across runs (the same
+    * defect class fixed in Lda's wordsInCorpus/perplexity merges). */
   private def gramSmall(df: DataFrame, vecCol: String, l: Int): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val flat = df.select(col(vecCol)).as[Seq[Double]]
-      .mapPartitions { it =>
+    val parts = df.select(col(vecCol)).as[Seq[Double]]
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = new Array[Double](l * l)
         it.foreach { v =>
           var i = 0
@@ -92,13 +98,13 @@ object TruncatedSVD {
             i += 1
           }
         }
-        Iterator(m)
-      }
-      .reduce { (a, b) =>
-        var i = 0
-        while (i < a.length) { a(i) += b(i); i += 1 }
-        a
-      }
+        Iterator((pid, m))
+      }.collect().sortBy(_._1)
+    val flat = new Array[Double](l * l)
+    parts.foreach { case (_, m) =>
+      var i = 0
+      while (i < flat.length) { flat(i) += m(i); i += 1 }
+    }
     Array.tabulate(l, l)((i, j) => flat(i * l + j))
   }
 
@@ -187,7 +193,8 @@ object PCA {
       (g(i)(j) - sums(i) * sums(j) / n) / (n - 1.0)
     }
     val (vals, vecs) = LinAlg.symEigen(cov)
-    val kk = math.min(k, math.min(d, n.toInt))
+    // Long-space clamp — same overflow hazard as TruncatedSVD.fit
+    val kk = math.min(k.toLong, math.min(d.toLong, n)).toInt
     DimRedModel(TruncatedSVD.componentsDf(spark, vecs, d, kk),
       vals.take(kk), kk)
   }

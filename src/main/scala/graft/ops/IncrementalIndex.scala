@@ -90,24 +90,23 @@ class IncrementalIndex(spark: SparkSession, path: String,
   /** Signature a batch of pages (url, text) with the PERSISTED corpus
     * stats (fitted and saved on the first call). The hashed-tf column
     * is kept in the stored rows so [[refit]] can re-signature every
-    * batch without the raw text. `audit` normalises null caller ids —
-    * on for the put paths (which then run the unified
-    * [[resolveCrossBatchIds]] audit; stored identities must be
-    * unambiguous), off for search queries (their ids never enter the
-    * store; an aliased query id only merges that query's own result
-    * rows). */
-  private def signatures(pages: DataFrame, audit: Boolean): DataFrame = {
+    * batch without the raw text. Null caller ids are normalised for
+    * EVERY path: the put paths additionally run the unified
+    * [[resolveCrossBatchIds]] audit (stored identities must be
+    * unambiguous); search queries' ids never enter the store, but an
+    * un-normalised null qid would silently match nothing (null never
+    * equi-joins), and a caller ALIASING one id across distinct query
+    * pages merges those pages' result sets — the per-(qid, match)
+    * dedup keeps one row, so give distinct pages distinct ids. */
+  private def signatures(pages: DataFrame): DataFrame = {
     val ext0 = DedupPipeline.extract(pages, cfg)
-    // null caller-supplied ids are normalised up front (the batch
-    // audit's contract); collision RESOLUTION for the put paths lives
-    // in [[resolveCrossBatchIds]], which sees the batch AND the store
+    // collision RESOLUTION for the put paths lives in
+    // [[resolveCrossBatchIds]], which sees the batch AND the store
     // in one loop — the batch-LOCAL audit would re-id a stored
     // incumbent's own re-put whenever a stranger collides with it in
     // the same batch, splitting one identity across two stored ids
-    val ext = if (audit)
-      ext0.withColumn("doc_id",
-        coalesce(col("doc_id"), xxhash64(col("url"))))
-    else ext0
+    val ext = ext0.withColumn("doc_id",
+      coalesce(col("doc_id"), xxhash64(col("url"))))
     val tfd = DedupPipeline.withTf(ext, cfg)
     val stats = loadStats().getOrElse {
       // first-fit check + publish runs UNDER the store's writer lease
@@ -143,12 +142,21 @@ class IncrementalIndex(spark: SparkSession, path: String,
   def put(pages: DataFrame): Unit = {
     ensureClean()
     reconcileBands()
-    val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the signatures BEFORE the audit: the audit's count actions
+    // and the final persisted write are otherwise separate
+    // re-evaluations of the caller's frame, so a nondeterministic
+    // source (sample, unordered limit) could store colliding
+    // identities the audit verified as clean — the same hazard
+    // search() pins its query frame against
+    val raw = signatures(pages).localCheckpoint(true)
     try {
-      store.append(sigs, id => bandStore.writeBatch(bandRows(sigs), id))
-      ()
-    } finally { sigs.unpersist(); () }
+      val sigs = resolveCrossBatchIds(raw)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        store.append(sigs, id => bandStore.writeBatch(bandRows(sigs), id))
+        ()
+      } finally { sigs.unpersist(); () }
+    } finally graft.ckpt.Checkpoints.free(raw)
     maybeAutoRefit()
   }
 
@@ -218,12 +226,16 @@ class IncrementalIndex(spark: SparkSession, path: String,
   def putBatch(pages: DataFrame, batchId: Long): Unit = {
     ensureClean()
     reconcileBands()
-    val sigs = resolveCrossBatchIds(signatures(pages, audit = true))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pinned before the audit — see put()
+    val raw = signatures(pages).localCheckpoint(true)
     try {
-      store.writeBatch(sigs, batchId)
-      bandStore.writeBatch(bandRows(sigs), batchId)
-    } finally { sigs.unpersist(); () }
+      val sigs = resolveCrossBatchIds(raw)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        store.writeBatch(sigs, batchId)
+        bandStore.writeBatch(bandRows(sigs), batchId)
+      } finally { sigs.unpersist(); () }
+    } finally graft.ckpt.Checkpoints.free(raw)
     maybeAutoRefit()
   }
 
@@ -504,7 +516,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // misses. localCheckpoint materializes one snapshot that every
     // downstream plan reads (executor-local blocks: a lost executor
     // fails the query loudly rather than serving a partial answer).
-    val q = signatures(pages, audit = false).localCheckpoint(true)
+    val q = signatures(pages).localCheckpoint(true)
     val stored = all()
     def bands(df: DataFrame) = Lsh.explodeBands(df, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),

@@ -115,7 +115,13 @@ object Multimodal {
         // task fails — an exhaustion hook leaks native handles there
         Option(org.apache.spark.TaskContext.get())
           .foreach(_.addTaskCompletionListener[Unit](_ => d.close()))
-        batch.map { case (id, bytes) => d.decode(id, bytes) }
+        // null payloads (an upstream fetch failure) decode as EMPTY,
+        // enforced by the plumbing so EVERY decoder inherits the
+        // never-throw contract — a null dereference inside a decoder
+        // would fail the task and, after retries, the job
+        batch.map { case (id, bytes) =>
+          d.decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+        }
       }
   }
 

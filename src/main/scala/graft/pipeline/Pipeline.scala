@@ -111,7 +111,13 @@ final case class FittedVocab(vocab: DataFrame, d: Int, docIdCol: String,
       .groupBy(col(docIdCol))
       .agg(collect_list(struct(col("id").cast("long").as("term"),
         col("e.weight").cast("double").as("weight"))).as(outCol))
-    df.join(enc, docIdCol)
+    // a doc whose entries are empty or entirely OOV gets the EMPTY
+    // encoding, not silently dropped (the reference keeps such docs as
+    // zero vectors; an inner join here lost rows from the pipeline
+    // output with no signal)
+    val outType = enc.schema(outCol).dataType
+    df.join(enc, Seq(docIdCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), array().cast(outType)))
   }
 }
 

@@ -117,13 +117,25 @@ object TfIdf {
     val exploded = docs.select(col(docIdCol), explode(col(entriesCol)).as("e"))
       .select(col(docIdCol), col("e.term").as("term"),
         col("e.cnt").cast("double").as("cnt"))
+    // no forced broadcast: the idf table is bounded by numFeatures on
+    // the HASHED path (a few MB — the planner auto-broadcasts it from
+    // stats) but VOCABULARY-sized on the string-term path, where a
+    // web corpus's distinct terms would OOM a forced driver build.
+    // Catalyst picks broadcast vs shuffle from the table's actual size
+    // (same treatment as DimRed.project's component join).
     val weighted = exploded
-      .join(broadcast(idfTable), Seq("term"), "left")
+      .join(idfTable, Seq("term"), "left")
       .select(col(docIdCol),
         struct(col("term"),
           (col("cnt") * coalesce(col("idf"), lit(0.0))).as("weight")).as("e"))
     val regrouped = weighted.groupBy(docIdCol)
       .agg(array_sort(collect_list("e")).as("tfidf"))
+    // empty-entries docs produce no exploded row → no regrouped row:
+    // backfill the EMPTY ARRAY, not null (the reference's empty-vector
+    // semantics; a null array silently drops the doc from downstream
+    // array ops)
+    val outType = regrouped.schema("tfidf").dataType
     docs.join(regrouped, Seq(docIdCol), "left")
+      .withColumn("tfidf", coalesce(col("tfidf"), array().cast(outType)))
   }
 }

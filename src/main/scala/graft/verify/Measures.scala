@@ -62,9 +62,13 @@ object Measures {
   /** CosineDistance = 1 − cos (`comparisons.go:39-41`). */
   def cosineDistDense(a: Column, b: Column): Column = lit(1.0) - cosineDense(a, b)
 
-  /** AngularDistance (`comparisons.go:49-56`). */
+  /** AngularDistance (`comparisons.go:49-56`). Cosine is clamped on
+    * BOTH ends: rounding can push near-parallel pairs above +1 and
+    * near-antipodal pairs below −1, and acos of either is NaN — which
+    * every threshold filter silently drops (NaN comparisons are
+    * false). */
   def angularDist(a: Column, b: Column): Column =
-    acos(least(cosineDense(a, b), lit(1.0))) / math.Pi
+    acos(greatest(least(cosineDense(a, b), lit(1.0)), lit(-1.0))) / math.Pi
 
   /** AngularSimilarity (`comparisons.go:60-62`). */
   def angularSim(a: Column, b: Column): Column = lit(1.0) - angularDist(a, b)
