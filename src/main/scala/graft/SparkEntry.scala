@@ -33,6 +33,16 @@ object SparkEntry {
     * split matches DuckDB's string_split exactly. */
   private val toks: Column = split(col("text"), " ")
 
+  /** Hashed-tf doc vector as (term, weight) entries — the shared input
+    * of the three R3/R4 projection goldens (q_random_proj, q_rri,
+    * q_sparse_proj); one definition so a feature-width or field-name
+    * change cannot silently desynchronise them. */
+  private def hashedTfEntries: Column = transform(
+    graft.hash.HashFunctions.hashedTf(
+      graft.text.TextKernel.tokenize(col("text")), 1 << 18),
+    e => struct(e.getField("term").as("term"),
+      e.getField("cnt").cast("double").as("weight")))
+
   /** 5-token string shingles (distinct), mirroring TextKernel.shingles
     * semantics but string-valued so DuckDB can reproduce them. */
   private def shingleStrs(t: Column, w: Int = 5): Column =
@@ -315,11 +325,7 @@ object SparkEntry {
 
     "q_random_proj" -> ((s, dir) => {
       // R3 JL projection of the hashed-tf doc vector, k=4 (golden)
-      val entries = transform(
-        HashFunctions.hashedTf(
-          TextKernel.tokenize(col("text")), 1 << 18),
-        e => struct(e.getField("term").as("term"),
-          e.getField("cnt").cast("double").as("weight")))
+      val entries = hashedTfEntries
       fixturePages(s)
         .select(col("url"), HashFunctions.randomProject(entries, 4).as("p"))
         .select(col("url"),
@@ -454,17 +460,18 @@ object SparkEntry {
       // data-sized slices (200 rows), not session width: the prefix
       // expansion's log-rounds each inherit the input's partitioning,
       // so near-empty full-width slices multiply scheduling floor
+      // one shared base expression: odd rows differ from their even
+      // partner by EXACTLY the flipped-bit XOR — a drifted copy of the
+      // base in one branch would silently break the partner-at-
+      // Hamming-1 construction the oracle depends on
+      val pair = floor(c("id") / 2).cast("long").cast("string")
+      val base = HashFunctions.murmur3go(concat(lit("lf:"), pair))
+        .bitwiseXOR(shiftleft(
+          HashFunctions.murmur3go(concat(lit("lg:"), pair)), 32))
       val sigs = s.range(0, 200, 1, 2).select(c("id").as("doc_id"),
-        when(c("id") % 2 === 0,
-          HashFunctions.murmur3go(concat(lit("lf:"), floor(c("id") / 2).cast("long").cast("string")))
-            .bitwiseXOR(shiftleft(
-              HashFunctions.murmur3go(concat(lit("lg:"), floor(c("id") / 2).cast("long").cast("string"))), 32)))
-          .otherwise(
-            HashFunctions.murmur3go(concat(lit("lf:"), floor(c("id") / 2).cast("long").cast("string")))
-              .bitwiseXOR(shiftleft(
-                HashFunctions.murmur3go(concat(lit("lg:"), floor(c("id") / 2).cast("long").cast("string"))), 32))
-              .bitwiseXOR(call_function("shiftleft", lit(1L),
-                pmod(c("id") * 7, lit(64)).cast("int"))))
+        when(c("id") % 2 === 0, base)
+          .otherwise(base.bitwiseXOR(call_function("shiftleft", lit(1L),
+            pmod(c("id") * 7, lit(64)).cast("int"))))
           .as("sig"))
       graft.lsh.LshForest.searchTopK(sigs, "doc_id",
           sigs.filter(c("doc_id") < 100), "doc_id", "sig", 1)
@@ -493,10 +500,7 @@ object SparkEntry {
     "q_rri" -> ((s, dir) => {
       // Random Indexing (doc-based, k=8) over the fixture corpus;
       // term space is the hashed feature space (no dense vocab needed)
-      val entries = transform(
-        HashFunctions.hashedTf(TextKernel.tokenize(col("text")), 1 << 18),
-        e => struct(e.getField("term").as("term"),
-          e.getField("cnt").cast("double").as("weight")))
+      val entries = hashedTfEntries
       val docs = fixturePages(s)
         .select(xxhash64(col("url")).as("doc_id"), col("url"), entries.as("entries"))
       val (_, out) = graft.dimred.RandomIndexing.fitTransform(
@@ -514,10 +518,7 @@ object SparkEntry {
     "q_sparse_proj" -> ((s, dir) => {
       // Achlioptas sparse-density JL projection (the reference's own
       // RandomProjection distribution), per-row codegen'd
-      val entries = transform(
-        HashFunctions.hashedTf(TextKernel.tokenize(col("text")), 1 << 18),
-        e => struct(e.getField("term").as("term"),
-          e.getField("cnt").cast("double").as("weight")))
+      val entries = hashedTfEntries
       fixturePages(s).select(col("url"),
         HashFunctions.sparseRandomProject(entries, 4, 0.5).as("p"))
         .select(col("url"),

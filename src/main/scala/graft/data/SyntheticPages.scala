@@ -13,9 +13,13 @@ import java.sql.Timestamp
  * Planted structure (each pair recorded in the expected-pairs oracle):
  *  - exact dups: identical text under a distinct url ("exact")
  *  - near dups: 1–3 token edits / shuffled tail ("near")
- *  - substring dups: a long verbatim run (≥ 300 chars) embedded in
- *    otherwise unrelated text ("substr") — only the suffix-array stage
- *    can catch these
+ *  - substring dups: a long verbatim run embedded in otherwise
+ *    unrelated text ("substr") — only the suffix-array stage can catch
+ *    these. The run is min(60, base-doc tokens) tokens, so its floor
+ *    is ~200 chars when the base doc sits at its 40-token minimum
+ *    (≈ 310 chars typical): safely above the substrMinRun=60 default,
+ *    but anyone raising substrMinRun past ~200 must lengthen subText's
+ *    run or planted substr pairs silently stop being caught
  *  - hot-skew block: one boilerplate paragraph on ~5% of rows
  *    (exercises band-bucket capping)
  *

@@ -1,6 +1,7 @@
 package graft.lsh
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import graft.ckpt.Fs
 import org.apache.spark.sql.functions._
 
 /**
@@ -39,6 +40,42 @@ class ForestIndex(spark: SparkSession, path: String,
 
   private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs",
     subPartitionCols = Seq("tb"))
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def layoutPath = s"$path/layout.json"
+  private var layoutChecked = false
+
+  /** Pin/validate the STORED layout geometry. `tables` and
+    * `prefixBits` are baked into every stored row (rotation spacing;
+    * the tb partition encoding) — reopening an existing store with
+    * different values would compute query tbs that almost never match
+    * the stored partition values, so the pruning filter silently
+    * drops true candidates (IvfIndex pins its geometry the same way
+    * by persisting the codebook). The manifest is written by the
+    * first mutation and validated by every later operation; a
+    * mismatch fails loudly. Checked once per instance — the layout
+    * never changes after creation. */
+  private def ensureLayout(write: Boolean): Unit = if (!layoutChecked) {
+    if (Fs.exists(layoutPath, hconf)) {
+      val json = Fs.readString(layoutPath, hconf)
+      def num(key: String) = (s""""$key":(-?\\d+)""").r
+        .findFirstMatchIn(json).map(_.group(1).toInt)
+      val t = num("tables").getOrElse(tables)
+      val pb = num("prefixBits").getOrElse(prefixBits)
+      require(t == tables && pb == prefixBits,
+        s"ForestIndex at $path was built with tables=$t, prefixBits=" +
+          s"$pb but reopened with tables=$tables, prefixBits=" +
+          s"$prefixBits — stored rotation keys and tb partitions would " +
+          "silently mismatch (pruned searches miss); reopen with the " +
+          "original geometry or rebuild the index")
+      layoutChecked = true
+    } else if (write) {
+      Fs.writeStringAtomic(layoutPath,
+        s"""{"tables":$tables,"prefixBits":$prefixBits}""", hconf)
+      layoutChecked = true
+    }
+    // read path on a manifest-less store (legacy or empty): nothing to
+    // validate against — the first mutation stamps it
+  }
 
   private def tbCol(rot: Column, k: Column): Column =
     (rot.cast("int") * (1 << prefixBits) +
@@ -75,12 +112,14 @@ class ForestIndex(spark: SparkSession, path: String,
     * claim. */
   def put(sigs: DataFrame): Unit = {
     requireServingLayout()
+    ensureLayout(write = true)
     store.append(rotRows(sigs)); ()
   }
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(sigs: DataFrame, batchId: Long): Unit = {
     requireServingLayout()
+    ensureLayout(write = true)
     store.writeBatch(rotRows(sigs), batchId)
   }
 
@@ -97,6 +136,7 @@ class ForestIndex(spark: SparkSession, path: String,
     * anti-join rewrite into a temp dir, then an atomic swap. */
   def remove(ids: DataFrame): Unit = {
     requireServingLayout()
+    ensureLayout(write = true)
     store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
       Seq("id"), "left_anti"))
   }
@@ -123,6 +163,14 @@ class ForestIndex(spark: SparkSession, path: String,
     * Returns (query_id, neighbor_id, hamming, rank). */
   def search(queries: DataFrame, k: Int): DataFrame = {
     requireServingLayout()
+    ensureLayout(write = false)
+    // a never-written store has no schema manifest: the scan below
+    // would throw an opaque parquet PATH_NOT_FOUND mid-search — an
+    // empty index simply has no neighbours
+    if (isEmpty)
+      return spark.range(0).select(col("id").as("query_id"),
+        col("id").as("neighbor_id"),
+        lit(0).as("hamming"), lit(0).as("rank"))
     // pin the query frame before the driver collects the pruning set
     // from it: the stored-side tb filter and the search join both
     // re-evaluate it, and a nondeterministic caller frame (sample,

@@ -494,6 +494,31 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * before the band layout existed. Returns
     * (query_url, match_url, jaccard). */
   def search(pages: DataFrame): DataFrame = {
+    var tries = 0
+    while (tries < 3) {
+      // snapshot validation (same shape as IvfIndex.search): reads
+      // take no lease, so a refit completing mid-search re-signatures
+      // the stored rows under NEW stats while this search signed its
+      // queries with the OLD ones — band keys stop lining up and true
+      // matches vanish silently. Materialize the (match-sized) result,
+      // confirm the stats are the ones the queries were signed with,
+      // retry on a changed stamp. ~1 s mtime granularity narrows, not
+      // closes, the cross-process window.
+      val stamp = Fs.modifiedMs(statsPath, hconf)
+      val res = searchPlan(pages).localCheckpoint(true)
+      if (Fs.modifiedMs(statsPath, hconf) == stamp) return res
+      graft.ckpt.Checkpoints.free(res)
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"index at $path refit three times during one search — refit " +
+        "churn; retry when the writer settles")
+  }
+
+  /** The LAZY search frame — [[search]] without the refit-consistency
+    * validation, for plan inspection (PartitionFilters evidence) and
+    * specs; production callers want [[search]]. */
+  def searchPlan(pages: DataFrame): DataFrame = {
     // empty index: nothing can match — return the empty result without
     // signaturing the queries. (Signaturing would also FIT first-put
     // corpus stats from a read path, which is the put paths' job and

@@ -55,7 +55,32 @@ class IvfIndex(spark: SparkSession, path: String,
     else Some(spark.read.parquet(p).filter(col("cell") >= 0).orderBy("cell")
       .collect().map(_.getSeq[Double](1).toArray))
 
-  private def loadBook(): Option[Array[Array[Double]]] = loadBookFrom(bookPath)
+  // book + fit-size memo keyed by the codebook dir's FS stamp: every
+  // put paid two parquet read+collect jobs (loadBook in assigned,
+  // fitSizeFrom in the growth check) for a file that only changes on
+  // refit. The stamp re-read is FS metadata only (no Spark job); an
+  // in-process refit invalidates explicitly, a cross-process refit is
+  // picked up by the stamp change (same ~1 s granularity caveat as the
+  // search snapshot validation).
+  private var bookMemo: Option[(Long, Array[Array[Double]], Option[Long])] = None
+
+  private def loadBook(): Option[Array[Array[Double]]] = {
+    Fs.modifiedMs(bookPath, hconf) match {
+      case None => bookMemo = None; None
+      case Some(st) => bookMemo match {
+        case Some((s, b, _)) if s == st => Some(b)
+        case _ => loadBookFrom(bookPath).map { b =>
+          bookMemo = Some((st, b, fitSizeFrom(bookPath)))
+          b
+        }
+      }
+    }
+  }
+
+  /** Fit-population of the CURRENT codebook (memo-served). */
+  private def fitSize(): Option[Long] = {
+    loadBook(); bookMemo.flatMap(_._3)
+  }
 
   /** Doc count the codebook at `p` was fitted on (rides as a sentinel
     * cell −1 row, so book + size commit atomically in one parquet).
@@ -87,7 +112,11 @@ class IvfIndex(spark: SparkSession, path: String,
     // stored cells (pruned searches then silently miss). The loser of
     // the lease fails loudly, the single-writer contract.
     val book = loadBook().getOrElse(store.withLease(loadBook().getOrElse {
-      val n = v.count()
+      // distinct identities, not rows — the unit contract the refit
+      // path documents; stamping raw rows from a replay-heavy first
+      // batch would defer the first auto-refit by the duplication
+      // factor
+      val n = v.select("id").distinct().count()
       // a first batch smaller than nCells fits a book as small as the
       // data (probe clamps nProbe to the book) instead of refusing —
       // the streaming-ingest case, where batch one is a second of
@@ -141,8 +170,8 @@ class IvfIndex(spark: SparkSession, path: String,
     * — see IncrementalIndex.maybeAutoRefit; re-puts grow rows per put,
     * so an unbacked-off confirm would run per put). */
   private def maybeAutoRefit(): Unit =
-    if (autoRefitGrowth > 1.0 && Fs.exists(bookPath, hconf))
-      fitSizeFrom(bookPath).foreach { atFit =>
+    if (autoRefitGrowth > 1.0)
+      fitSize().foreach { atFit =>
         val rows = store.rowCount()
         confirmedIds.foreach { case (_, rows0) =>
           if (rows < rows0) confirmedIds = None
@@ -218,6 +247,7 @@ class IvfIndex(spark: SparkSession, path: String,
       element_at(Ivf.probe(col("vec"), book, 1), 1).as("cell"),
       col("id"), col("vec"), col("batch")))
     Fs.swapInto(bookNextPath, bookPath, hconf)
+    bookMemo = None // the stamp changed; drop the memo eagerly
   }
 
   private def ensureRefitComplete(): Unit = {
@@ -234,6 +264,34 @@ class IvfIndex(spark: SparkSession, path: String,
    * rank), rank 1..k by (cos desc, id) — [[Ivf.ivfTopK]]'s contract.
    */
   def search(queries: DataFrame, k: Int): DataFrame = {
+    var tries = 0
+    while (tries < 3) {
+      // snapshot validation: reads take no lease, so a refit completing
+      // MID-SEARCH swaps in rows whose cell assignments come from the
+      // NEW codebook while this search probed with the OLD one — the
+      // pruned scan would silently miss true neighbours. Materialize
+      // the (small, top-k) result, then confirm the codebook is the
+      // one the probe set was computed from; a stamp change means a
+      // refit landed underneath and the search retries on the new
+      // snapshot. (mtime granularity ~1 s narrows, not closes, the
+      // window — a refit completing within the same stamp tick as the
+      // book load is undetected; single-writer mutation makes that a
+      // cross-process race on an already-rare overlap.)
+      val stamp = Fs.modifiedMs(bookPath, hconf)
+      val res = searchPlan(queries, k).localCheckpoint(true)
+      if (Fs.modifiedMs(bookPath, hconf) == stamp) return res
+      graft.ckpt.Checkpoints.free(res)
+      tries += 1
+    }
+    throw new IllegalStateException(
+      s"IVF index at $path refit three times during one search — " +
+        "refit churn; retry when the writer settles")
+  }
+
+  /** The LAZY search frame — [[search]] without the refit-consistency
+    * validation, for plan inspection (PartitionFilters evidence) and
+    * specs; production callers want [[search]]. */
+  def searchPlan(queries: DataFrame, k: Int): DataFrame = {
     ensureRefitComplete()
     val book = loadBook().getOrElse(
       throw new IllegalStateException(s"empty IVF index at $path"))

@@ -91,7 +91,7 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     // partner construction: top-1 of i is i XOR 1
     assert(got.map(r => (r._1, r._2)) ===
       (0L until 20L).map(q => (q, q ^ 1L)).toSet)
-    val plan = idx.search(queries, 1).queryExecution.executedPlan.toString
+    val plan = idx.searchPlan(queries, 1).queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell#\\d+ IN".r.findFirstIn(plan).isDefined,
       s"stored scan not pruned by cell:\n${plan.take(4000)}")
   }

@@ -120,7 +120,10 @@ class Round4HardeningSpec extends AnyFunSuite with SparkSpec {
     val m = res.select("match_url").as[String].collect().toSet
     assert(m === Set("u1"),
       "legacy batches must not be dropped from the upgraded layout")
-    val plan = res.queryExecution.executedPlan.toString
+    // plan evidence from the LAZY frame: search() itself is snapshot-
+    // validated (checkpoint-cut, no scan visible in its plan)
+    val plan = idx2.searchPlan(Seq(("q", near)).toDF("url", "text"))
+      .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*pb#\\d+ IN".r.findFirstIn(plan).isDefined,
       s"upgraded store must serve the pruned path:\n${plan.take(4000)}")
   }

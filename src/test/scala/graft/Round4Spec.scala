@@ -255,7 +255,7 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
     assert(before === after)
     assert(before.map(t => (t._1, t._2)) === Set(("q1", "u1")))
     // the regenerated band layout still serves pruned scans
-    val plan = idx.search(q).queryExecution.executedPlan.toString
+    val plan = idx.searchPlan(q).queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*pb#\\d+ IN".r.findFirstIn(plan).isDefined,
       s"band layout lost its pb pruning across refit:\n${plan.take(4000)}")
   }
@@ -323,7 +323,10 @@ class Round4Spec extends AnyFunSuite with SparkSpec {
     idx.put(Seq(("u3", doc("cc"))).toDF("url", "text"))
     val near = doc("aa").replace(" aah ", " changed ")
     val res = idx.search(Seq(("q1", near)).toDF("url", "text"))
-    val plan = res.queryExecution.executedPlan.toString
+    // plan evidence from the LAZY frame: search() itself is snapshot-
+    // validated (checkpoint-cut, no scan visible in its plan)
+    val plan = idx.searchPlan(Seq(("q1", near)).toDF("url", "text"))
+      .queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*pb#\\d+ IN".r.findFirstIn(plan).isDefined,
       s"no pb partition pruning in stored band scan:\n${plan.take(6000)}")
     val m = res.select("query_url", "match_url")

@@ -482,6 +482,35 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("k=8"))
   }
 
+  test("ForestIndex pins its stored geometry: reopening with different " +
+    "prefixBits/tables fails loudly instead of silently mis-pruning") {
+    import spark.implicits._
+    import graft.hash.HashKernels.mix64
+    val dir = s"${freshDir()}/forest"
+    val f = new graft.lsh.ForestIndex(spark, dir, prefixBits = 6)
+    f.put((1L to 10L).map(i => (i, mix64(i))).toDF("id", "sig"))
+    val wrong = new graft.lsh.ForestIndex(spark, dir, prefixBits = 7)
+    val e = intercept[IllegalArgumentException] {
+      wrong.put(Seq((11L, mix64(11L))).toDF("id", "sig"))
+    }
+    assert(e.getMessage.contains("prefixBits"))
+    // the ORIGINAL geometry still works
+    val same = new graft.lsh.ForestIndex(spark, dir, prefixBits = 6)
+    same.put(Seq((11L, mix64(11L))).toDF("id", "sig"))
+    assert(same.all().count() === 11L)
+  }
+
+  test("ForestIndex.search on a never-written store returns the empty " +
+    "result, not a parquet PATH_NOT_FOUND") {
+    import spark.implicits._
+    import graft.hash.HashKernels.mix64
+    val f = new graft.lsh.ForestIndex(spark, s"${freshDir()}/forest")
+    val got = f.search(Seq((1L, mix64(1L))).toDF("id", "sig"), 3)
+    assert(got.count() === 0L)
+    assert(got.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "hamming", "rank"))
+  }
+
   test("fingerprint normalises whitespace for real: repeated/leading/" +
     "trailing spaces collapse to the same key") {
     import spark.implicits._
