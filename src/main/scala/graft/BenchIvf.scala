@@ -79,9 +79,16 @@ object BenchIvf {
     def measure(nProbe: Int, prune: Boolean): (Double, Long, Long, Long) = {
       val ix = new graft.ops.IvfIndex(spark, s"$base/ivf",
         nCells = nCells, nProbe = nProbe, pruneScan = prune)
-      // cold plan over the stored files each time
+      // cold plan over the stored files each time. The LAZY frame, not
+      // search(): search() snapshot-validates by cutting the plan at a
+      // localCheckpoint, so its executedPlan is a LogicalRDD with NO
+      // FileSourceScanExec — scanStats over it reads 0 bytes/0 files
+      // at every probe level and the pruned-vs-unpruned bytes evidence
+      // (this benchmark's whole point) silently vanishes. searchPlan
+      // executes the identical scan+join; the only production delta is
+      // the stamp check around it.
       val t = System.nanoTime()
-      val df = ix.search(queries, 10)
+      val df = ix.searchPlan(queries, 10)
       val n = df.collect().length.toLong
       val sec = (System.nanoTime() - t) / 1e9
       val (b, f) = scanStats(df.queryExecution.executedPlan)

@@ -226,7 +226,13 @@ final class BatchStore(spark: SparkSession, root: String,
       beating = false
       beat.interrupt()
       beat.join(1000)
-      Fs.deleteIfExists(lockPath, hconf)
+      // token-conditional, like every other release path: if this
+      // holder stalled past the TTL (GC/host pause also stops the
+      // heartbeat), a breaker may hold a FRESH lock here — deleting
+      // unconditionally would strip the live winner's lease and let a
+      // third writer claim concurrently (nextBatchId is list-and-max,
+      // so two live writers can allocate the same batch id)
+      releaseIfOurs()
     }
   }
 

@@ -91,8 +91,18 @@ object RandomIndexing {
       else termContribs(docs, docIdCol, entriesCol, cfg)
 
     var cycle = 0
+    var prevCkpt: DataFrame = null
     while (cycle < cfg.reflections) {
       comps = comps.localCheckpoint() // truncate the per-cycle join lineage
+      // the eager checkpoint above just read (and thereby retired) the
+      // previous cycle's snapshot — free it now; unpersist is a no-op
+      // on checkpointed frames and ContextCleaner waits for driver GC,
+      // so without this every reflection pins another term-table-sized
+      // block set (same leak class as the Lda/CC iteration state). The
+      // FINAL checkpoint is never freed: the returned model's lazy
+      // components plan reads from it.
+      if (prevCkpt != null) graft.ckpt.Checkpoints.free(prevCkpt)
+      prevCkpt = comps
       // docs in current term space
       val docVecs = DimRed.project(docs, docIdCol, entriesCol, comps, cfg.k)
         .withColumnRenamed("proj", "dvec")

@@ -78,11 +78,18 @@ object TruncatedSVD {
   }
 
   /** Distributed l×l Gram of a (_, vec[l]) table: per-partition outer
-    * products merged PID-SORTED on the driver — the only driver-visible
-    * object is l×l per partition. An arrival-order reduce would
-    * associate the Double sums by task-completion order and make the
-    * fitted components bit-nondeterministic across runs (the same
-    * defect class fixed in Lda's wordsInCorpus/perplexity merges). */
+    * products folded PID-ASCENDING on the driver — an arrival-order
+    * reduce would associate the Double sums by task-completion order
+    * and make the fitted components bit-nondeterministic across runs
+    * (the same defect class fixed in Lda's wordsInCorpus/perplexity
+    * merges). The partials STREAM via toLocalIterator (partitions
+    * evaluate in index order, each emits exactly one row), so the fold
+    * order is identical to a collect-and-sort while the driver holds
+    * ONE l×l partial at a time instead of all P at once — at l=512,
+    * P=2000 that's 2 MB resident vs 4 GB. Cost: one job per partition;
+    * acceptable for a one-time fit, and each job is a single partial.
+    * (A tree merge would bound the job count too, but it re-associates
+    * the sums and moves the fitted goldens by ULPs.) */
   private def gramSmall(df: DataFrame, vecCol: String, l: Int): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -99,9 +106,9 @@ object TruncatedSVD {
           }
         }
         Iterator((pid, m))
-      }.collect().sortBy(_._1)
+      }
     val flat = new Array[Double](l * l)
-    parts.foreach { case (_, m) =>
+    parts.toLocalIterator.foreach { case (_, m) =>
       var i = 0
       while (i < flat.length) { flat(i) += m(i); i += 1 }
     }

@@ -454,6 +454,13 @@ object Lda {
         next.rdd.getNumPartitions, W, K, sliceT)
       val newState = next.filter(_._2 != null).map(_._2).localCheckpoint()
       next.unpersist()
+      // free the SUPERSEDED snapshot: unpersist is a no-op on
+      // checkpointed frames and ContextCleaner waits for driver GC, so
+      // without this every iteration pins another corpus-sized DocState
+      // block set until the fit ends (same leak class as the CC label
+      // frames; newState was materialised from `next`, never from the
+      // old state, so nothing re-reads it)
+      graft.ckpt.Checkpoints.free(state.toDF())
       state = newState
 
       val rhoPhi = rho(cfg.sPhi, cfg.tauPhi, cfg.kappaPhi, rhoPhiT)
@@ -481,6 +488,8 @@ object Lda {
         prevPerplexity = p
       }
     }
+    // the model is driver arrays; nothing re-reads the final snapshot
+    graft.ckpt.Checkpoints.free(state.toDF())
     new LdaModel(nPhi, nZ, cfg, iter)
   }
 

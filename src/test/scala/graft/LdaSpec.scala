@@ -243,6 +243,19 @@ class LdaSpec extends AnyFunSuite with SparkSpec {
       "the fitted schedule")
   }
 
+  test("fit frees every iteration's superseded DocState checkpoint: " +
+    "no retained RDDs survive the fit (direct library callers get no " +
+    "releaseCaches sweep)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Lda.fit(corpus, "doc_id", "entries",
+      cfg.copy(iterations = 5, transformationPasses = 2))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"fit retained ${leaked.size} RDD(s) past its return: " +
+        leaked.map(spark.sparkContext.getPersistentRDDs(_).toString)
+          .mkString("; "))
+  }
+
   test("perplexity of the fitted model beats the uniform model") {
     val model = Lda.fit(corpus, "doc_id", "entries", cfg)
     val p = model.perplexity(corpus, "doc_id", "entries")

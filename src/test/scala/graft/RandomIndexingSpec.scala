@@ -115,6 +115,23 @@ class RandomIndexingSpec extends AnyFunSuite with SparkSpec {
     assert(culm / nDocs < 0.25, s"RRI drift ${culm / nDocs}")
   }
 
+  test("reflective fit frees superseded cycle checkpoints: at most the " +
+    "final snapshot + the model persist survive the fit") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val rri = RiConfig(k = 50, density = 0.02, reflections = 4, termBased = true)
+    val (m, out) = RandomIndexing.fitTransform(toDf(corpusLocal),
+      "doc_id", "entries", rri)
+    out.count() // materialise the model's components persist
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // final reflection checkpoint (the components plan reads it) + the
+    // model's own persist — the 3 superseded cycle snapshots must be gone
+    assert(added.size <= 2,
+      s"fit retained ${added.size} RDD(s) — superseded reflection " +
+        "checkpoints leaked: " + added.map(
+        spark.sparkContext.getPersistentRDDs(_).toString).mkString("; "))
+    m.components.unpersist()
+  }
+
   test("elemental vectors have the reference distribution (:350-404)") {
     val k = 1000
     val density = 0.02
