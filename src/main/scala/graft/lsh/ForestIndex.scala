@@ -177,8 +177,16 @@ class ForestIndex(spark: SparkSession, path: String,
     // unordered limit) re-evaluated differently would probe tb
     // partitions the filter already excluded — silent misses
     val nq = normalize(queries).localCheckpoint(true)
-    LshForest.searchTopKRotated(prunedOf(nq),
+    // materialize the (top-k-sized) result so the query pin can be
+    // freed eagerly (invariant 32: a per-micro-batch serving loop must
+    // not accrete one pinned query block set per call until driver GC);
+    // the siblings' search() paths materialize anyway for their
+    // refit-stamp validation, so eagerness here also keeps the three
+    // indexes' search semantics uniform
+    val (plan, pins) = LshForest.searchTopKRotatedPinned(prunedOf(nq),
       nq, "id", "sig", k, tables, step, minPrefix)
+    try plan.localCheckpoint(true)
+    finally (pins :+ nq).foreach(graft.ckpt.Checkpoints.free)
   }
 
   /** The stored rotated rows pruned to the `tb` partitions `queries`

@@ -76,7 +76,21 @@ object LshForest {
                  queries: DataFrame,
                  qidCol: String, sigCol: String, k: Int,
                  tables: Int, step: Int,
-                 minPrefix: Int): DataFrame = {
+                 minPrefix: Int): DataFrame =
+    searchTopKRotatedPinned(corpusRot, queries, qidCol, sigCol, k,
+      tables, step, minPrefix)._1
+
+  /** ([[searchTopKRotated]] frame, the per-round expansion snapshots it
+    * references) — the pins may be freed once the frame is materialized
+    * (invariant 32: a serving loop must not leave one block set per
+    * expansion round to driver GC). Lazy callers ([[searchTopK]]) keep
+    * the pins alive through the frame's lineage instead. */
+  private[lsh] def searchTopKRotatedPinned(corpusRot: DataFrame,
+                 queries: DataFrame,
+                 qidCol: String, sigCol: String, k: Int,
+                 tables: Int, step: Int,
+                 minPrefix: Int): (DataFrame, Seq[DataFrame]) = {
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // minPrefix ≤ 64 guarantees ≥1 expansion round (found is never null
     // at the ranking step); the rest are plain domain checks
     require(minPrefix >= 1 && minPrefix <= 64,
@@ -122,10 +136,11 @@ object LshForest {
         .filter(col("qid") =!= col("id"))
         .distinct()
         .localCheckpoint()
-      // cands checkpoints feed the returned frame and are reclaimed by
-      // the ContextCleaner once the result is consumed; superseded
-      // PENDING snapshots are dead the moment the next one lands and
-      // are freed eagerly below.
+      pins += cands
+      // cands checkpoints feed the returned frame — they ride back to
+      // the caller as pins, freeable once the result is materialized;
+      // superseded PENDING snapshots are dead the moment the next one
+      // lands and are freed eagerly below.
       if (prefixLen - step >= minPrefix) {
         // queries whose candidate quota is met leave the expansion,
         // carrying this round's (maximal-so-far) candidate set
@@ -153,12 +168,12 @@ object LshForest {
 
     val w = Window.partitionBy("qid")
       .orderBy(col("hamming"), col("id"))
-    found
+    (found
       .withColumn("hamming",
         bit_count(col("qsig").bitwiseXOR(col("sig"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
-        col("hamming"), col("rank"))
+        col("hamming"), col("rank")), pins.toSeq)
   }
 }

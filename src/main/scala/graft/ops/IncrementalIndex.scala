@@ -505,7 +505,13 @@ class IncrementalIndex(spark: SparkSession, path: String,
       // retry on a changed stamp. ~1 s mtime granularity narrows, not
       // closes, the cross-process window.
       val stamp = Fs.modifiedMs(statsPath, hconf)
-      val res = searchPlan(pages).localCheckpoint(true)
+      val (plan, pin) = searchPlanPinned(pages)
+      // the result snapshot no longer references the query pin — free
+      // it eagerly (invariant 32: a per-micro-batch serving loop must
+      // not accrete one pinned query block set per call)
+      val res =
+        try plan.localCheckpoint(true)
+        finally pin.foreach(graft.ckpt.Checkpoints.free)
       if (Fs.modifiedMs(statsPath, hconf) == stamp) return res
       graft.ckpt.Checkpoints.free(res)
       tries += 1
@@ -517,16 +523,24 @@ class IncrementalIndex(spark: SparkSession, path: String,
 
   /** The LAZY search frame — [[search]] without the refit-consistency
     * validation, for plan inspection (PartitionFilters evidence) and
-    * specs; production callers want [[search]]. */
-  def searchPlan(pages: DataFrame): DataFrame = {
+    * specs; production callers want [[search]]. The frame pins the
+    * query-signature snapshot for its lifetime (spec-scoped; the
+    * serving path frees it per call). */
+  def searchPlan(pages: DataFrame): DataFrame = searchPlanPinned(pages)._1
+
+  /** ([[searchPlan]] frame, the query-side pin it references — None on
+    * the empty-index early return) — the pin may be freed once the
+    * frame is materialized. */
+  private def searchPlanPinned(pages: DataFrame)
+      : (DataFrame, Option[DataFrame]) = {
     // empty index: nothing can match — return the empty result without
     // signaturing the queries. (Signaturing would also FIT first-put
     // corpus stats from a read path, which is the put paths' job and
     // takes the writer lease.)
     if (isEmpty) {
       val s = pages.sparkSession
-      return s.range(0).select(lit("").as("query_url"),
-        lit("").as("match_url"), lit(0.0).as("jaccard"))
+      return (s.range(0).select(lit("").as("query_url"),
+        lit("").as("match_url"), lit(0.0).as("jaccard")), None)
     }
     // a crashed refit must never serve mixed state: stats in `stats`
     // with signatures already rewritten for `stats.refit` (or half the
@@ -598,11 +612,11 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // window over the full store per search would shuffle 10^9 rows).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid", "sid").orderBy(col("__sb").desc)
-    cands.join(qs, "qid").join(ss, "sid")
+    (cands.join(qs, "qid").join(ss, "sid")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn("jaccard", graft.verify.Measures.jaccard(col("qsh"), col("ssh")))
       .filter(col("jaccard") >= cfg.tau)
-      .select("query_url", "match_url", "jaccard")
+      .select("query_url", "match_url", "jaccard"), Some(q))
   }
 }

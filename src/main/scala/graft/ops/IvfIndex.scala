@@ -278,7 +278,14 @@ class IvfIndex(spark: SparkSession, path: String,
       // book load is undetected; single-writer mutation makes that a
       // cross-process race on an already-rare overlap.)
       val stamp = Fs.modifiedMs(bookPath, hconf)
-      val res = searchPlan(queries, k).localCheckpoint(true)
+      val (plan, pin) = searchPlanPinned(queries, k)
+      // the result snapshot no longer references the query pin — free
+      // it eagerly (invariant 32: a serving loop that searches per
+      // micro-batch must not accrete one pinned query block set per
+      // call until driver GC)
+      val res =
+        try plan.localCheckpoint(true)
+        finally graft.ckpt.Checkpoints.free(pin)
       if (Fs.modifiedMs(bookPath, hconf) == stamp) return res
       graft.ckpt.Checkpoints.free(res)
       tries += 1
@@ -290,8 +297,16 @@ class IvfIndex(spark: SparkSession, path: String,
 
   /** The LAZY search frame — [[search]] without the refit-consistency
     * validation, for plan inspection (PartitionFilters evidence) and
-    * specs; production callers want [[search]]. */
-  def searchPlan(queries: DataFrame, k: Int): DataFrame = {
+    * specs; production callers want [[search]]. The frame pins the
+    * query snapshot for its lifetime (spec-scoped; the serving path
+    * frees it per call). */
+  def searchPlan(queries: DataFrame, k: Int): DataFrame =
+    searchPlanPinned(queries, k)._1
+
+  /** ([[searchPlan]] frame, the query-side pin it references) — the
+    * pin may be freed once the frame is materialized. */
+  private def searchPlanPinned(queries: DataFrame, k: Int)
+      : (DataFrame, DataFrame) = {
     ensureRefitComplete()
     val book = loadBook().getOrElse(
       throw new IllegalStateException(s"empty IVF index at $path"))
@@ -342,8 +357,8 @@ class IvfIndex(spark: SparkSession, path: String,
         transform(col("cv"), x => x.cast("double"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    (scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("rank")), q0)
   }
 }

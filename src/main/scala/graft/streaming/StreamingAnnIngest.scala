@@ -53,7 +53,15 @@ object StreamingAnnIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
         try {
-          if (!index.isEmpty) onMatches(index.search(b, k))
+          if (!index.isEmpty) {
+            // search() returns a materialized snapshot; free it once
+            // the callback returns (invariant 32: a long-running stream
+            // must not accrete one match-sized block set per batch).
+            // The frame is therefore valid only WITHIN the callback —
+            // act on it there (write/collect), don't stash it lazily.
+            val m = index.search(b, k)
+            try onMatches(m) finally graft.ckpt.Checkpoints.free(m)
+          }
           index.putBatch(b, batchId)
         } finally b.unpersist()
         ()

@@ -50,7 +50,15 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.cache()
         try {
-          if (!index.isEmpty) onMatches(index.search(b))
+          if (!index.isEmpty) {
+            // search() returns a materialized snapshot; free it once
+            // the callback returns (invariant 32: a long-running stream
+            // must not accrete one match-sized block set per batch).
+            // The frame is therefore valid only WITHIN the callback —
+            // act on it there (write/collect), don't stash it lazily.
+            val m = index.search(b)
+            try onMatches(m) finally graft.ckpt.Checkpoints.free(m)
+          }
           index.putBatch(b, batchId)
         } finally b.unpersist()
         ()

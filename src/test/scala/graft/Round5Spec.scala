@@ -511,6 +511,44 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
       Seq("query_id", "neighbor_id", "hamming", "rank"))
   }
 
+  // ---- serving-path pin hygiene (invariant 32 on the read side) ----
+
+  test("search on all three mutable indexes retains ONLY its own result " +
+    "snapshot — query-side pins are freed per call") {
+    import spark.implicits._
+    def addedAfter[A](before: scala.collection.Set[Int])
+                     (res: org.apache.spark.sql.DataFrame)
+    : Unit = {
+      val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(added.size <= 1,
+        s"search retained ${added.size} block sets (query pins must be " +
+          "freed eagerly): " + added.map(
+            spark.sparkContext.getPersistentRDDs(_).toString).mkString("; "))
+      graft.ckpt.Checkpoints.free(res)
+      assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+        "freeing the result must leave nothing behind")
+    }
+    // IncrementalIndex (text near-dup serving)
+    val inc = new graft.ops.IncrementalIndex(spark, s"${freshDir()}/inc")
+    inc.put(Seq(("u1", doc("aa")), ("u2", doc("bb"))).toDF("url", "text"))
+    val near = doc("aa").replace(" aah ", " changed ")
+    val b1 = spark.sparkContext.getPersistentRDDs.keySet
+    addedAfter(b1)(inc.search(Seq(("q", near)).toDF("url", "text")))
+    // IvfIndex (embedding ANN serving)
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
+    val ivf = new graft.ops.IvfIndex(spark, s"${freshDir()}/ivf",
+      nCells = 4, nProbe = 4)
+    ivf.put((0L until 8L).map(i => (i, vec(i))).toDF("id", "vec"))
+    val b2 = spark.sparkContext.getPersistentRDDs.keySet
+    addedAfter(b2)(ivf.search(Seq((99L, vec(2L))).toDF("id", "vec"), 3))
+    // ForestIndex (signature ANN serving)
+    import graft.hash.HashKernels.mix64
+    val f = new graft.lsh.ForestIndex(spark, s"${freshDir()}/forest")
+    f.put((1L to 10L).map(i => (i, mix64(i))).toDF("id", "sig"))
+    val b3 = spark.sparkContext.getPersistentRDDs.keySet
+    addedAfter(b3)(f.search(Seq((99L, mix64(3L))).toDF("id", "sig"), 3))
+  }
+
   test("fingerprint normalises whitespace for real: repeated/leading/" +
     "trailing spaces collapse to the same key") {
     import spark.implicits._
