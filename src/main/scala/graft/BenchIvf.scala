@@ -88,10 +88,13 @@ object BenchIvf {
       // executes the identical scan+join; the only production delta is
       // the stamp check around it.
       val t = System.nanoTime()
-      val df = ix.searchPlan(queries, 10)
+      val (df, pin) = ix.searchPlanPinned(queries, 10)
       val n = df.collect().length.toLong
       val sec = (System.nanoTime() - t) / 1e9
       val (b, f) = scanStats(df.queryExecution.executedPlan)
+      // the plan is spent (collected + scanned for metrics): release
+      // its query pin so 17 measure() calls don't accrete 17 block sets
+      graft.ckpt.Checkpoints.free(pin)
       (sec, b, f, n)
     }
 

@@ -180,8 +180,15 @@ final class BatchStore(spark: SparkSession, root: String,
     // fresh lock; not deleting leaks ours for a full TTL).
     def releaseIfOurs(): Unit =
       try {
-        if (Fs.readString(lockPath, hconf) == token)
-          Fs.deleteIfExists(lockPath, hconf)
+        // one retry on a transient read failure, like the owned-verify
+        // above: a swallowed false "not ours" here strands OUR live
+        // lock for a full TTL (every later putBatch fails loudly until
+        // the lease expires — fatal to a streaming ingest)
+        val ours =
+          try Fs.readString(lockPath, hconf) == token
+          catch { case _: java.io.IOException =>
+            Fs.readString(lockPath, hconf) == token }
+        if (ours) Fs.deleteIfExists(lockPath, hconf)
       } catch { case _: Exception => () }
     val owned =
       try {

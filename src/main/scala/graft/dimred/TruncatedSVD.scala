@@ -82,14 +82,18 @@ object TruncatedSVD {
     * reduce would associate the Double sums by task-completion order
     * and make the fitted components bit-nondeterministic across runs
     * (the same defect class fixed in Lda's wordsInCorpus/perplexity
-    * merges). The partials STREAM via toLocalIterator (partitions
-    * evaluate in index order, each emits exactly one row), so the fold
-    * order is identical to a collect-and-sort while the driver holds
-    * ONE l×l partial at a time instead of all P at once — at l=512,
-    * P=2000 that's 2 MB resident vs 4 GB. Cost: one job per partition;
-    * acceptable for a one-time fit, and each job is a single partial.
-    * (A tree merge would bound the job count too, but it re-associates
-    * the sums and moves the fitted goldens by ULPs.) */
+    * merges). The partials are computed by ONE parallel job (persist +
+    * count — every partition's O(rows·l²) outer-product work runs
+    * concurrently across the executors), then STREAM to the driver via
+    * toLocalIterator over the cached blocks (partitions in index order,
+    * each one row), so the fold order is identical to a collect-and-sort
+    * while the driver holds ONE l×l partial at a time instead of all P
+    * at once — at l=512, P=2000 that's 2 MB resident vs 4 GB. (A bare
+    * toLocalIterator without the persist would serialise the Gram
+    * compute itself — one single-task job per partition, losing all
+    * executor parallelism on the fit's heaviest stage. A tree merge
+    * would bound the driver cost too, but it re-associates the sums and
+    * moves the fitted goldens by ULPs.) */
   private def gramSmall(df: DataFrame, vecCol: String, l: Int): Array[Array[Double]] = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -107,11 +111,16 @@ object TruncatedSVD {
         }
         Iterator((pid, m))
       }
+    val cached = parts.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flat = new Array[Double](l * l)
-    parts.toLocalIterator.foreach { case (_, m) =>
-      var i = 0
-      while (i < flat.length) { flat(i) += m(i); i += 1 }
-    }
+    try {
+      cached.count() // the one PARALLEL job: every partial materialises
+      cached.toLocalIterator.foreach { case (_, m) =>
+        var i = 0
+        while (i < flat.length) { flat(i) += m(i); i += 1 }
+      }
+    } finally { cached.unpersist(blocking = false); () }
     Array.tabulate(l, l)((i, j) => flat(i * l + j))
   }
 

@@ -183,8 +183,11 @@ class ForestIndex(spark: SparkSession, path: String,
     // the siblings' search() paths materialize anyway for their
     // refit-stamp validation, so eagerness here also keeps the three
     // indexes' search semantics uniform
-    val (plan, pins) = LshForest.searchTopKRotatedPinned(prunedOf(nq),
-      nq, "id", "sig", k, tables, step, minPrefix)
+    val (plan, pins) =
+      try LshForest.searchTopKRotatedPinned(prunedOf(nq),
+        nq, "id", "sig", k, tables, step, minPrefix)
+      catch { case t: Throwable => // prunedOf's collect can throw too
+        graft.ckpt.Checkpoints.free(nq); throw t }
     try plan.localCheckpoint(true)
     finally (pins :+ nq).foreach(graft.ckpt.Checkpoints.free)
   }

@@ -120,6 +120,12 @@ object LshForest {
     // no distinct at all.
     var found: DataFrame = null
     var prefixLen = 64
+    // a mid-expansion failure (lost executor dropping checkpoint
+    // blocks, join OOM) must not orphan the snapshots created so far:
+    // the local pins buffer would be discarded with the exception and
+    // a retrying serving loop would accrete block sets per failed
+    // attempt — free everything this call created, then rethrow
+    try {
     while (prefixLen >= minPrefix && pending != null) {
       val shift = 64 - prefixLen
       def pfx(c: Column) = shiftrightunsigned(c, shift)
@@ -153,8 +159,12 @@ object LshForest {
           .join(counts, pending("qid") === counts("done_qid"), "left_anti")
           .localCheckpoint()
         if (pending ne pending0) graft.ckpt.Checkpoints.free(pending)
-        // cheap emptiness probe bounds the loop (log-rounds, not data)
-        if (next.isEmpty) pending = null else pending = next
+        // cheap emptiness probe bounds the loop (log-rounds, not data).
+        // An EMPTY next (every query met its quota — the common dense-
+        // corpus exit) is dead on arrival: free it here or it outlives
+        // the search as an orphaned block set.
+        if (next.isEmpty) { graft.ckpt.Checkpoints.free(next); pending = null }
+        else pending = next
       } else {
         // final round: every still-pending query finalizes here
         found = if (found == null) cands else found.union(cands)
@@ -175,5 +185,13 @@ object LshForest {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
         col("hamming"), col("rank")), pins.toSeq)
+    } catch { case t: Throwable =>
+      pins.foreach(graft.ckpt.Checkpoints.free)
+      if (pending != null && (pending ne pending0))
+        graft.ckpt.Checkpoints.free(pending)
+      pending0.unpersist(blocking = false)
+      corpus.unpersist(blocking = false)
+      throw t
+    }
   }
 }

@@ -556,6 +556,9 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // downstream plan reads (executor-local blocks: a lost executor
     // fails the query loudly rather than serving a partial answer).
     val q = signatures(pages).localCheckpoint(true)
+    // a failure below (the pb-pruning collect, batch listing) must not
+    // orphan the query pin — free it on the error path, rethrow
+    try {
     val stored = all()
     def bands(df: DataFrame) = Lsh.explodeBands(df, "doc_id",
       Lsh.minhashBandKeys(col("minhash"), cfg.bands, cfg.rows),
@@ -618,5 +621,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
       .withColumn("jaccard", graft.verify.Measures.jaccard(col("qsh"), col("ssh")))
       .filter(col("jaccard") >= cfg.tau)
       .select("query_url", "match_url", "jaccard"), Some(q))
+    } catch { case t: Throwable =>
+      graft.ckpt.Checkpoints.free(q); throw t }
   }
 }

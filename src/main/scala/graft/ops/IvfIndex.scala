@@ -304,8 +304,9 @@ class IvfIndex(spark: SparkSession, path: String,
     searchPlanPinned(queries, k)._1
 
   /** ([[searchPlan]] frame, the query-side pin it references) — the
-    * pin may be freed once the frame is materialized. */
-  private def searchPlanPinned(queries: DataFrame, k: Int)
+    * pin may be freed once the frame is materialized (package-visible
+    * so BenchIvf's measure loop can release its per-call pin). */
+  private[graft] def searchPlanPinned(queries: DataFrame, k: Int)
       : (DataFrame, DataFrame) = {
     ensureRefitComplete()
     val book = loadBook().getOrElse(
@@ -318,6 +319,9 @@ class IvfIndex(spark: SparkSession, path: String,
     val q0 = queries.select(col("id").cast("long").as("query_id"),
         col("vec").as("qv"))
       .localCheckpoint(true)
+    // a failure below (the cell-pruning collect) must not orphan the
+    // query pin — free it on the error path, rethrow
+    try {
     val q = q0.withColumn("cell", explode(Ivf.probe(col("qv"), book, nProbe)))
     // pruning set: distinct probed cells — domain-bounded collect
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
@@ -360,5 +364,7 @@ class IvfIndex(spark: SparkSession, path: String,
     (scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank")), q0)
+    } catch { case t: Throwable =>
+      graft.ckpt.Checkpoints.free(q0); throw t }
   }
 }

@@ -547,6 +547,15 @@ class Round5Spec extends AnyFunSuite with SparkSpec {
     f.put((1L to 10L).map(i => (i, mix64(i))).toDF("id", "sig"))
     val b3 = spark.sparkContext.getPersistentRDDs.keySet
     addedAfter(b3)(f.search(Seq((99L, mix64(3L))).toDF("id", "sig"), 3))
+    // ForestIndex again on the QUOTA-MET exit (the dense-corpus common
+    // case): every stored sig equals the query sig, so the expansion
+    // leaves at the FIRST round with an empty next-pending snapshot —
+    // the one exit path that orphaned a block set
+    val qsig = mix64(42L)
+    val fd = new graft.lsh.ForestIndex(spark, s"${freshDir()}/forest2")
+    fd.put((1L to 10L).map(i => (i, qsig)).toDF("id", "sig"))
+    val b4 = spark.sparkContext.getPersistentRDDs.keySet
+    addedAfter(b4)(fd.search(Seq((99L, qsig)).toDF("id", "sig"), 3))
   }
 
   test("fingerprint normalises whitespace for real: repeated/leading/" +
