@@ -593,11 +593,15 @@ object Bench {
     }.toSeq
     var inversionRetries = 0
     while (invertedPairs.nonEmpty && inversionRetries < 3 &&
-           // inversion retries respect the wall budget too (estimated
-           // by the slower suspect) — a surviving inversion is recorded
+           // inversion retries respect the wall budget too — estimated
+           // by the SUM over the distinct suspects, because the round
+           // below runs one attempt at each of them sequentially (the
+           // max of a 150 s S-leg and a 40 s N-leg underestimates the
+           // round 2-3×, re-creating the rc=124 overrun this guard
+           // exists to prevent); a surviving inversion is recorded
            // loudly rather than chased past the driver's clock
            elapsedSec + invertedPairs.flatMap(p => Seq(p._1, p._2))
-             .map(_.estAttemptSec).max <= wallBudget) {
+             .distinct.map(_.estAttemptSec).sum <= wallBudget) {
       inversionRetries += 1
       val suspects = invertedPairs.flatMap(p => Seq(p._1, p._2)).distinct
       suspects.foreach { l =>

@@ -199,13 +199,22 @@ object DedupPipeline {
     * text_hash exchange. */
   def exactDedup(extracted: DataFrame,
                  cfg: DedupConfig = DedupConfig()): (DataFrame, DataFrame) = {
+    // persisted for the same reason run() wraps its edge stage in
+    // shared(): the count below, the reps anti-join build and the
+    // caller's own consumption would otherwise each re-execute the
+    // text_hash window (measured 2-3 full executions per call through
+    // this convenience API). Slim rows (16 B/dup); stays registered
+    // until the session sweeps caches (SparkEntry.releaseCaches /
+    // catalog.clearCache) — it cannot be released here because both
+    // returned frames read it lazily.
     val edges = exactDupEdges(extracted)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the broadcast decision MUST come from the measured dup count
     // (exactDupReps' own contract): a web corpus's exact-mirror
     // population is in the billions — an unconditional broadcast hint
     // builds it on the driver and OOMs. One slim count job is the
     // price of the convenience API; run() measures the same count
-    // anyway.
+    // anyway — and it doubles as the cache materialiser.
     val nDups = edges.count()
     (edges, exactDupReps(extracted, edges,
       broadcastDups = nDups <= cfg.broadcastIdLimit))

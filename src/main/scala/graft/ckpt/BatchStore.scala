@@ -74,12 +74,21 @@ final class BatchStore(spark: SparkSession, root: String,
 
   /** Total stored rows. No Spark job when the manifest covers the
     * current batch set (one small file read); a missing or stale
-    * manifest is rebuilt with ONE grouped count job and persisted —
-    * the persist runs UNDER the writer lease (a reader's recount racing
-    * a writer's batch overwrite could otherwise land a stale per-batch
-    * count AFTER the writer's fresh one, with a matching keySet that no
-    * later call would ever re-check). When the lease is busy the count
-    * is served without persisting: the next uncontended call rebuilds. */
+    * manifest is rebuilt with ONE grouped count job. The recount runs
+    * OUTSIDE the writer lease — it is a full-store Spark job (minutes
+    * at 10^9 rows), and holding the single-writer lease across it
+    * would fail a live writer's putBatch with a loud IOException: a
+    * pure read API killing the writer (inside a streaming foreachBatch
+    * sink, the whole query). The lease is claimed only to PERSIST the
+    * result, and only when the rebuild is provably still current: the
+    * batch set is unchanged, the manifest is still incomplete (a
+    * completed racing writer re-adds its own entry, making the keySet
+    * whole), and no mutation has touched the store root since the
+    * rebuild began (a staging write or swap bumps the root mtime — the
+    * guard against a writer that swapped mid-rebuild and CRASHED
+    * before its manifest re-add, whose batch our recount may have read
+    * pre-swap). Otherwise the persist is dropped and the count served
+    * unpersisted; the next uncontended call rebuilds fresh. */
   def rowCount(): Long = {
     // seed every listed batch id: an EMPTY batch dir (a rows-less
     // streaming trigger) produces no groupBy row, and a manifest
@@ -91,20 +100,22 @@ final class BatchStore(spark: SparkSession, root: String,
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       ids.map(id => id -> counted.getOrElse(id, 0L)).toMap
     }
+    val t0 = System.currentTimeMillis()
     val ids = batchIds().toSet
     if (ids.isEmpty) 0L
     else {
       val m = readRowCounts()
       if (m.keySet == ids) m.values.sum
-      else try withLease {
-        // re-read under the lease: the writer we raced may have
-        // completed the manifest while we waited for the claim
-        val ids2 = batchIds().toSet
-        val m2 = readRowCounts()
-        if (m2.keySet == ids2) m2.values.sum
-        else { val c = rebuild(ids2); writeRowCounts(c); c.values.sum }
-      } catch {
-        case _: java.io.IOException => rebuild(ids).values.sum
+      else {
+        val c = rebuild(ids)
+        try withLease {
+          if (batchIds().toSet == ids && readRowCounts().keySet != ids &&
+              Fs.modifiedMs(root, hconf).forall(_ <= t0))
+            writeRowCounts(c)
+        } catch {
+          case _: java.io.IOException => () // writer busy: serve unpersisted
+        }
+        c.values.sum
       }
     }
   }

@@ -59,8 +59,21 @@ class ForestIndex(spark: SparkSession, path: String,
       val json = Fs.readString(layoutPath, hconf)
       def num(key: String) = (s""""$key":(-?\\d+)""").r
         .findFirstMatchIn(json).map(_.group(1).toInt)
-      val t = num("tables").getOrElse(tables)
-      val pb = num("prefixBits").getOrElse(prefixBits)
+      // a manifest missing its keys must FAIL, not default to the
+      // current constructor values — defaulting makes the require
+      // below trivially pass on an unparseable manifest, silently
+      // serving mis-pruned searches: the exact failure the manifest
+      // exists to make loud
+      val tOpt = num("tables")
+      val pbOpt = num("prefixBits")
+      require(tOpt.isDefined && pbOpt.isDefined,
+        s"ForestIndex layout manifest at $layoutPath is unreadable " +
+          s"(missing tables/prefixBits keys): $json — refusing to " +
+          "guess the stored geometry; restore the manifest, or delete " +
+          "it (the next mutation re-stamps the constructor geometry) " +
+          "only if that geometry is KNOWN to match the stored rows")
+      val t = tOpt.get
+      val pb = pbOpt.get
       require(t == tables && pb == prefixBits,
         s"ForestIndex at $path was built with tables=$t, prefixBits=" +
           s"$pb but reopened with tables=$tables, prefixBits=" +
@@ -129,6 +142,11 @@ class ForestIndex(spark: SparkSession, path: String,
     * [[graft.ckpt.BatchStore.compact]]. */
   def compact(upTo: Long): Unit = {
     requireServingLayout()
+    // a mutation like put/remove: validates (and on a legacy
+    // manifest-less store, stamps) the geometry manifest — compacting
+    // under a mismatched constructor geometry would otherwise proceed
+    // silently while every other operation on the instance fails loudly
+    ensureLayout(write = true)
     store.compact(upTo)(graft.ckpt.BatchStore.latestBatchRows(_, "id"))
   }
 

@@ -78,7 +78,25 @@ class IncrementalIndex(spark: SparkSession, path: String,
         r.getSeq[Long](3).toArray))
     }
 
-  private def loadStats(): Option[CorpusStats] = loadStatsFrom(statsPath)
+  // stats memo keyed by the stats dir's FS stamp (mirrors IvfIndex's
+  // bookMemo): every put paid two parquet read+collect jobs (the
+  // signature fit lookup + the growth check) for a file that only
+  // changes on refit. The stamp re-read is FS metadata only (no Spark
+  // job); an in-process refit invalidates explicitly, a cross-process
+  // refit is picked up by the stamp change (same ~1 s granularity
+  // caveat as the search snapshot validation below).
+  private var statsMemo: Option[(Long, CorpusStats)] = None
+
+  private def loadStats(): Option[CorpusStats] =
+    Fs.modifiedMs(statsPath, hconf) match {
+      case None => statsMemo = None; None
+      case Some(st) => statsMemo match {
+        case Some((s, c)) if s == st => Some(c)
+        case _ => loadStatsFrom(statsPath).map { c =>
+          statsMemo = Some((st, c)); c
+        }
+      }
+    }
 
   private def saveStatsTo(p: String, st: CorpusStats): Unit = {
     import spark.implicits._
@@ -395,6 +413,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
       reconcileBands()
     else bandStore.rewrite(_ => bandRows(store.all(), keep = Seq("batch")))
     Fs.swapInto(statsNextPath, statsPath, hconf)
+    statsMemo = None // the stamp changed; drop the memo eagerly
   }
 
   // pending-remove marker: the urls to remove are published here

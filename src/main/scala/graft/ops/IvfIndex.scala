@@ -233,7 +233,11 @@ class IvfIndex(spark: SparkSession, path: String,
     // growth×1k, drifting the codebook indefinitely in exactly the
     // re-put workload the distinct trigger exists for).
     val live = graft.ckpt.BatchStore.latestBatchRows(store.all(), "id")
-    val n = live.count()
+    // distinct, not live.count(): latestBatchRows keeps every row of an
+    // id's newest batch, so an input batch that stated one id twice
+    // would stamp rows (> identities) and defer the next distinct-id-
+    // triggered auto-refit by the in-batch duplication factor
+    val n = live.select("id").distinct().count()
     // same small-corpus clamp as the first fit: the book grows back
     // toward the configured nCells as the stored corpus does
     val eff = math.max(1L, math.min(nCells.toLong, n)).toInt
