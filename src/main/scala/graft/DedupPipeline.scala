@@ -21,12 +21,19 @@ case class DedupConfig(
   minhashPerms: Int = 128,
   bands: Int = 32,
   rows: Int = 4,
-  // Manku et al. '07 scheme: 4 bands × 16 bits over the 64-bit simhash;
-  // pigeonhole guarantees any pair at Hamming ≤ 3 shares ≥1 exact band.
-  // 8-bit bands would random-collide (n/256 docs per bucket) and blow up
-  // candidate volume quadratically — measured 187k pairs on a 3.8k corpus.
+  // Manku et al. '07 family: `simhashTables` bit-rotations of the
+  // 64-bit simhash, each range-sorted and scanned with a
+  // `chainWidth`-wide neighborhood, Hamming-verified in-scan
+  // (Lsh.simhashNeighborEdges). Fixed-width BAND KEYS were abandoned
+  // (so there is no band-bits knob): 8-bit bands random-collide (n/256
+  // docs per bucket, quadratic candidate blowup — measured 187k pairs
+  // on a 3.8k corpus) and 16-bit bands measured 6M random-collision
+  // pairs at 341k docs; the rotation scan examines O(n·tables·width)
+  // pairs at ANY corpus size. The trade: a Hamming≤3 pair separated by
+  // more than `chainWidth` same-prefix rows under every rotation can
+  // be missed — bounded by SeamLossSpec, backstopped by the
+  // MinHash-Jaccard path.
   simhashTables: Int = 4,
-  simhashBandBits: Int = 16,
   tau: Double = 0.8,
   maxHamming: Int = 3,
   maxBucket: Int = 64,
@@ -57,7 +64,10 @@ case class DedupConfig(
   // point predicts ~10^4 silent xxhash64(url) collisions, each merging
   // two unrelated documents into one cluster): up to idAuditRounds
   // detect-and-rehash passes over a slim (doc_id, url) projection, then
-  // a loud failure if collisions persist. 0 disables the audit.
+  // a loud failure if collisions persist. 0 disables the audit —
+  // including the null-identity guard (rows with neither a doc_id nor
+  // a url fail loudly inside the audit): disabling it means the caller
+  // owns identity integrity entirely.
   idAuditRounds: Int = 3,
   // serving-index layout: stored band rows are partitioned by
   // pb = band·bandBuckets + (key mod bandBuckets), so an incremental
@@ -111,9 +121,17 @@ object DedupPipeline {
   def extract(pages: DataFrame, cfg: DedupConfig): DataFrame = {
     val tokens = TextKernel.dropStopWords(
       TextKernel.tokenize(coalesce(col("text"), lit(""))), cfg.stopWords)
+    // a null url must derive a NULL id, not xxhash64(null): Spark's
+    // hash expressions skip null children and return the seed, so every
+    // null-url row would silently share ONE doc_id — and the identity
+    // audit is structurally blind to it (countDistinct over the same
+    // null-skipping hash reads 1). The nulls are caught loudly in
+    // [[resolveIdCollisions]] instead of fused silently here.
     val withId =
       if (pages.columns.contains("doc_id")) pages
-      else pages.withColumn("doc_id", xxhash64(col("url")))
+      else pages.withColumn("doc_id",
+        when(col("url").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("url"))))
     withId
       .withColumn("tokens", tokens)
       .withColumn("norm", TextKernel.normText(col("tokens")))
@@ -148,9 +166,15 @@ object DedupPipeline {
     // projection): the audit's equi-join can never match a null key, so
     // a null collision group would survive every rehash round and die
     // with a misleading "unresolved collisions" error — and a lone null
-    // id would silently flow into the doc_id-keyed joins downstream
+    // id would silently flow into the doc_id-keyed joins downstream.
+    // A row whose url is ALSO null stays null through the coalesce
+    // (extract derives null, and xxhash64(null) here would fold every
+    // such row to the hash seed — one shared identity): the audit
+    // below flags the null group and fails with the precise message.
     var cur = extracted.withColumn("doc_id",
-      coalesce(col("doc_id"), xxhash64(col("url"))))
+      coalesce(col("doc_id"),
+        when(col("url").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("url")))))
     var round = 0
     while (round <= cfg.idAuditRounds && cfg.idAuditRounds > 0) {
       // distinctness proxy: a second hash under a seed DISJOINT from the
@@ -160,11 +184,21 @@ object DedupPipeline {
       // remapped docs structurally invisible to later audit rounds —
       // the disjoint seed restores the ~2^-64 independence argument.
       val auditSeed = lit(-1)
+      // the null group rides the same aggregation (zero extra jobs on
+      // the clean path): identity-less rows — neither a caller id nor
+      // a url — cannot be rehashed into an identity and must fail with
+      // their own message, not the collision one
       val bad = cur.groupBy("doc_id")
         .agg(countDistinct(xxhash64(col("url"), auditSeed)).as("u"))
-        .filter(col("u") > 1).select("doc_id")
+        .filter(col("u") > 1 || col("doc_id").isNull).select("doc_id")
       val nBad = bad.count()
       if (nBad == 0) return cur
+      if (bad.filter(col("doc_id").isNull).count() > 0)
+        throw new IllegalArgumentException(
+          "rows with neither a doc_id nor a url have no identity — " +
+            "xxhash64(null) would fold them all onto one shared doc_id " +
+            "(silently fusing unrelated documents into one cluster); " +
+            "supply a url or a caller-owned doc_id for every row")
       if (round == cfg.idAuditRounds)
         throw new IllegalStateException(
           s"doc_id collisions unresolved after ${cfg.idAuditRounds} " +
@@ -417,8 +451,14 @@ object DedupPipeline {
     payload.join(ids, Seq("doc_id"), "left_semi")
   }
 
+  // no default for broadcastMembers, like exactDupReps: the flag MUST
+  // come from the measured pair count vs broadcastIdLimit (see run()) —
+  // a `= true` default silently broadcast-hinted a possibly
+  // multi-billion-id member set for every direct caller of the
+  // convenience surface, the unguarded-broadcast driver OOM this file's
+  // guards exist to prevent
   def verifyPairs(cands: DataFrame, sigs: DataFrame, cfg: DedupConfig,
-                  broadcastMembers: Boolean = true): DataFrame = {
+                  broadcastMembers: Boolean): DataFrame = {
     import cands.sparkSession.implicits._
     // only docs that appear in some candidate pair need their shingle
     // arrays in the verify joins — semi-filter sigs on the candidate-

@@ -73,7 +73,8 @@ object PhaseProfile {
       c
     }
     val verified = phase("verify") {
-      val v = DedupPipeline.verifyPairs(cands, sigs, cfg)
+      val v = DedupPipeline.verifyPairs(cands, sigs, cfg,
+          broadcastMembers = true) // profile fixture scale, measured small
         .persist(StorageLevel.MEMORY_AND_DISK)
       println(s"  n_verified=${v.count()}")
       v

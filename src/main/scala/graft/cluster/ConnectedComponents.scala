@@ -58,7 +58,13 @@ object ConnectedComponents {
     val p = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
     val edgeCount = edges.count()
-    if (edgeCount <= smallGraphThreshold) return smallGraph(edges)
+    // materialised like the loop path's final labels: a lazy return
+    // would replay the repartition-to-1 shuffle and the whole
+    // union-find on EVERY downstream action (the caller consumes the
+    // labels 2-3 times: count, final join, writes) — the exact waste
+    // the loop's localCheckpoints exist to prevent
+    if (edgeCount <= smallGraphThreshold)
+      return smallGraph(edges).localCheckpoint()
 
     // localCheckpoint (not persist): the incoming edge list carries the
     // whole upstream pipeline as its logical plan, and an iterative loop

@@ -168,6 +168,26 @@ case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpressio
   override def prettyName: String = "winnow"
 }
 
+/** `winnow_ctx(text, k, window)` → Array(Struct(key: Long, skey: Long)):
+  * the [[Winnow]] fingerprints plus a per-anchor content sort key (the
+  * 4 chars after the anchor k-gram, packed unsigned-comparable) for
+  * chain pairing inside oversized anchor buckets — see
+  * [[HashKernels.winnowCtxArray]]. The `key` stream is byte-identical
+  * to `winnow`'s. */
+case class WinnowCtx(child: Expression, k: Int, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("key", LongType, nullable = false),
+      StructField("skey", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.winnowCtxArray(v.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hash.HashKernels.winnowCtxArray($c, $k, $window)")
+  override protected def withNewChildInternal(c: Expression): WinnowCtx = copy(child = c)
+  override def prettyName: String = "winnow_ctx"
+}
+
 /** `randomProject(entries, k)` → k-dim dense JL projection
   * (ArrayType(DoubleType)) of a sparse (term, weight) vector.
   * Reference: `/root/reference/randomprojection.go:102-154`. */
@@ -431,6 +451,8 @@ object HashFunctions {
     col(SimHash64Idf(expr(tfEntries), terms, idfs))
   def winnow(text: Column, k: Int, window: Int): Column =
     col(Winnow(expr(text), k, window))
+  def winnowCtx(text: Column, k: Int, window: Int): Column =
+    col(WinnowCtx(expr(text), k, window))
   def hashedTf(tokens: Column, numFeatures: Int): Column =
     col(HashedTf(expr(tokens), numFeatures))
   def hashedShingles(tokens: Column, w: Int): Column =

@@ -273,10 +273,18 @@ object HashKernels {
    * anchor that lets the suffix-array substring pass run as a
    * shuffle-join instead of an all-pairs scan.
    */
-  def winnowedFingerprints(s: UTF8String, k: Int, window: Int): Array[Long] = {
-    val str = s.toString
+  def winnowedFingerprints(s: UTF8String, k: Int, window: Int): Array[Long] =
+    winnowSelect(s.toString, k, window)._1
+
+  /** The shared selection core: selected fingerprints AND the k-gram
+    * start index each was taken from (−1 for the degenerate n<k
+    * whole-string fingerprint, which has no k-gram position). The
+    * fingerprint array is byte-identical to the pre-refactor
+    * [[winnowedFingerprints]] output (golden-pinned). */
+  private def winnowSelect(str: String, k: Int,
+                           window: Int): (Array[Long], Array[Int]) = {
     val n = str.length
-    if (n < k) return Array(mix64(str.hashCode.toLong))
+    if (n < k) return (Array(mix64(str.hashCode.toLong)), Array(-1))
     val nGrams = n - k + 1
     val hs = new Array[Long](nGrams)
     val B = 1000000007L
@@ -297,11 +305,12 @@ object HashKernels {
       i += 1
     }
     if (nGrams <= window) {
-      var mn = hs(0); i = 1
-      while (i < nGrams) { if (hs(i) < mn) mn = hs(i); i += 1 }
-      return Array(mn)
+      var mn = hs(0); var mi = 0; i = 1
+      while (i < nGrams) { if (hs(i) < mn) { mn = hs(i); mi = i }; i += 1 }
+      return (Array(mn), Array(mi))
     }
     val out = new scala.collection.mutable.ArrayBuffer[Long](nGrams / window + 2)
+    val outIdx = new scala.collection.mutable.ArrayBuffer[Int](nGrams / window + 2)
     var lastIdx = -1
     // monotonic deque of indices, hashes strictly increasing front→back;
     // equal values evict the older index, so the front is always the
@@ -317,16 +326,49 @@ object HashKernels {
       if (deque(head) < lo) head += 1
       if (lo >= 0) {
         val mi = deque(head)
-        if (mi != lastIdx) { out += hs(mi); lastIdx = mi }
+        if (mi != lastIdx) { out += hs(mi); outIdx += mi; lastIdx = mi }
       }
       i += 1
     }
-    out.toArray
+    (out.toArray, outIdx.toArray)
   }
 
   /** ArrayData adapter for codegen. */
   def winnowArray(s: UTF8String, k: Int, window: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(winnowedFingerprints(s, k, window))
+
+  /** Winnowed fingerprints WITH a content sort key per anchor:
+    * Array(Struct(key: Long, skey: Long)) where `skey` packs the 4
+    * chars FOLLOWING the anchor k-gram (big-endian, unsigned-
+    * comparable, zero-padded at text end). Bucket members all share
+    * the anchor k-gram itself, so the skey order clusters docs by what
+    * comes AFTER the shared fragment: a true substring-dup pair (whose
+    * run extends past the anchor) sorts adjacent inside an oversized
+    * bucket and survives chain pairing, where doc_id (random hash)
+    * order would miss it with probability → 1 as buckets grow. */
+  def winnowCtxArray(s: UTF8String, k: Int, window: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val str = s.toString
+    val (hs, idx) = winnowSelect(str, k, window)
+    val out = new Array[Any](hs.length)
+    var i = 0
+    while (i < out.length) {
+      val from = (if (idx(i) < 0) 0 else idx(i)) + k
+      var v = 0L
+      var j = 0
+      while (j < 4) {
+        v = (v << 16) | (if (from + j < str.length)
+          str.charAt(from + j).toLong & 0xffffL else 0L)
+        j += 1
+      }
+      // flip the sign bit: packed chars compare unsigned, skey is
+      // sorted as a signed long downstream
+      out(i) = InternalRow(hs(i), v ^ Long.MinValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 
   // ---------------------------------------------------------------- simhash
 

@@ -116,15 +116,21 @@ object Lsh {
       .select($"rot", $"id", $"sig").as[(Int, Long, Long)]
       .mapPartitions { it =>
         // ring buffer of the previous `width` docs; reset on rotation
-        // change so neighbourhoods never straddle rotations
+        // change so neighbourhoods never straddle rotations. Pairs emit
+        // LAZILY per input row (≤ width each, O(width) live state) — a
+        // partition-wide buffer would materialise the partition's
+        // ENTIRE edge output before returning its iterator, which on a
+        // duplicate-dense corpus (template pages where every examined
+        // pair passes maxHamming) is rows×width boxed tuples held at
+        // once: an executor OOM at the web-scale operating point
         val bufId = new Array[Long](width)
         val bufSig = new Array[Long](width)
         var filled = 0
         var pos = 0
         var curRot = -1
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-        it.foreach { case (rot, id, sig) =>
+        it.flatMap { case (rot, id, sig) =>
           if (rot != curRot) { curRot = rot; filled = 0; pos = 0 }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Int)](filled)
           var j = 0
           while (j < filled) {
             val pid = bufId(j)
@@ -139,8 +145,8 @@ object Lsh {
           bufSig(pos % width) = sig
           pos += 1
           if (filled < width) filled += 1
+          out
         }
-        out.iterator
       }.toDF("a", "b", "hamming")
       .groupBy($"a", $"b").agg(min($"hamming").as("hamming"))
   }

@@ -123,8 +123,15 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // in one loop — the batch-LOCAL audit would re-id a stored
     // incumbent's own re-put whenever a stranger collides with it in
     // the same batch, splitting one identity across two stored ids
+    // null url ⇒ null derived id, NOT xxhash64(null): the null-skipping
+    // hash folds every null-url row onto one shared doc_id (the seed)
+    // that the audit is structurally blind to — identity-less rows are
+    // instead flagged loudly in [[resolveCrossBatchIds]] (same contract
+    // as DedupPipeline.resolveIdCollisions)
     val ext = ext0.withColumn("doc_id",
-      coalesce(col("doc_id"), xxhash64(col("url"))))
+      coalesce(col("doc_id"),
+        when(col("url").isNull, lit(null).cast("long"))
+          .otherwise(xxhash64(col("url")))))
     val tfd = DedupPipeline.withTf(ext, cfg)
     val stats = loadStats().getOrElse {
       // first-fit check + publish runs UNDER the store's writer lease
@@ -329,12 +336,20 @@ class IncrementalIndex(spark: SparkSession, path: String,
       // within-batch audit ran before any remap, so re-check here every
       // round, exactly as the batch pipeline's audit loop does
       val badIntra = qh.groupBy("doc_id")
+        // the null group (rows with neither a caller id nor a url —
+        // see signatures()) rides the same aggregation; it cannot be
+        // rehashed into an identity and fails below with its own
+        // message instead of the misleading collision one
         .agg(countDistinct(col("__quh")).as("__u"))
-        .filter(col("__u") > 1)
+        .filter(col("__u") > 1 || col("doc_id").isNull)
         .select("doc_id")
       val bad = badStored.union(badIntra).distinct()
       val nBad = bad.count()
       if (nBad == 0) return cur
+      if (bad.filter(col("doc_id").isNull).count() > 0)
+        throw new IllegalArgumentException(
+          "rows with neither a doc_id nor a url have no identity — " +
+            "supply a url or a caller-owned doc_id for every indexed row")
       if (round == cfg.idAuditRounds)
         throw new IllegalStateException(
           s"cross-batch doc_id collisions unresolved after " +

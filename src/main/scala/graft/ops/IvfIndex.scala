@@ -363,6 +363,10 @@ class IvfIndex(spark: SparkSession, path: String,
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),
         transform(col("cv"), x => x.cast("double"))))
+      // a zero-norm stored vector scores NaN against every query and
+      // Spark ranks NaN above every real double — filter it out of the
+      // neighbor ranking (same contract as TrainingDataOps.bruteForceTopK)
+      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     (scored.withColumn("rank", row_number().over(w))

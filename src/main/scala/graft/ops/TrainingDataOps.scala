@@ -98,6 +98,13 @@ object TrainingDataOps {
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),
         transform(col("cv"), x => x.cast("double"))))
+      // zero-norm embeddings (padding rows, failed encoders) score NaN
+      // against EVERY query (cosineDense keeps the reference's 0/0
+      // contract), and Spark orders NaN ABOVE every real double — an
+      // unfiltered zero vector would silently occupy rank 1 for every
+      // query. Undefined similarity is not a neighbor: drop it here,
+      // where the ranking semantics live, not in the measure.
+      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -170,9 +177,20 @@ object TrainingDataOps {
     graft.hash.HashFunctions.simhash64(entries)
   }
 
+  /** @param maxBucket corpus members per (band, key) bucket beyond
+    *   which candidates are dropped (sorted by id, capped inside the
+    *   aggregation buffer — [[graft.hash.CappedCollect]]): a RAW band
+    *   equi-join is Θ(q·n/2^bits) on unrelated data from random key
+    *   collisions alone, and a hot bucket (mass-duplicated embeddings)
+    *   cross-joins every query against all of it — the same blowup
+    *   [[cosineNearDup]] routes through the capped machinery. The
+    *   default never binds at sane bucket sizes (8-bit keys spread a
+    *   10^9 corpus ~4M/bucket per band — size `bits` so n/2^bits stays
+    *   far below the cap); raise it for exhaustive recall. */
   def lshTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int,
-              tables: Int = 8, bits: Int = 8): DataFrame = {
+              tables: Int = 8, bits: Int = 8,
+              maxBucket: Int = 4096): DataFrame = {
     import embeddings.sparkSession.implicits._
     def sig(vec: Column): Column = embeddingSig(vec)
     val cb = embeddings.select(col(idCol).as("neighbor_id"),
@@ -185,11 +203,19 @@ object TrainingDataOps {
       .select($"query_id", explode(
         graft.lsh.Lsh.simhashBandKeys($"qsig", tables, bits)).as("bk"))
       .select($"query_id", $"bk.band", $"bk.key")
+    // corpus buckets are capped BEFORE the query join (one partial-agg
+    // shuffle of ids): the join then fans out ≤ maxBucket members per
+    // query band instead of the bucket's true population
+    val buckets = cb.groupBy($"band", $"key")
+      .agg(graft.hash.HashFunctions.cappedCollect(
+        $"neighbor_id", $"neighbor_id", maxBucket).as("m"))
     // dedup on ids ONLY (round 1 distinct'd full vector payloads ×bands
     // through the shuffle), then re-join the vectors once per pair
-    val cands = qb.join(cb, Seq("band", "key"))
+    val cands = qb.join(buckets, Seq("band", "key"))
+      .select($"query_id", explode($"m.members").as("mm"))
+      .select($"query_id", $"mm.id".as("neighbor_id"))
       .filter($"query_id" =!= $"neighbor_id")
-      .select($"query_id", $"neighbor_id").distinct()
+      .distinct()
     val scored = cands
       .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         "query_id")
@@ -198,6 +224,9 @@ object TrainingDataOps {
       .withColumn("cos", Measures.cosineDense(
         transform($"qv", x => x.cast("double")),
         transform($"cv", x => x.cast("double"))))
+      // see bruteForceTopK: NaN (zero-norm) rows must not outrank every
+      // real neighbor
+      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -7,8 +7,10 @@ import graft.ops.IvfIndex
 /**
  * Streaming embedding ingestion — [[StreamingDedup]]'s shape for the
  * vector side of the house: each micro-batch of (id, vec) rows is
- * (1) searched against the IVF index built so far (an arriving
- * embedding's near-duplicates surface immediately) and (2) appended.
+ * (1) appended to the IVF index and (2) searched against it —
+ * put-first, so embeddings arriving in the SAME trigger surface as
+ * each other's neighbours (self excluded by id; see
+ * [[IngestLifecycle]] for the ordering argument).
  * foreachBatch delivery is AT-LEAST-ONCE on failure/replay; the index
  * write is effectively exactly-once because `putBatch` keys on the
  * batchId (a replayed batch overwrites its own `batch=<id>` partition
@@ -51,20 +53,8 @@ object StreamingAnnIngest {
       .trigger(Trigger.ProcessingTime("1 second"))
     checkpointLocation.fold(w0)(w0.option("checkpointLocation", _))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.cache()
-        try {
-          if (!index.isEmpty) {
-            // search() returns a materialized snapshot; free it once
-            // the callback returns (invariant 32: a long-running stream
-            // must not accrete one match-sized block set per batch).
-            // The frame is therefore valid only WITHIN the callback —
-            // act on it there (write/collect), don't stash it lazily.
-            val m = index.search(b, k)
-            try onMatches(m) finally graft.ckpt.Checkpoints.free(m)
-          }
-          index.putBatch(b, batchId)
-        } finally b.unpersist()
-        ()
+        IngestLifecycle.run(batch, batchId,
+          put = index.putBatch, search = index.search(_, k), onMatches)
       }
       .start()
   }

@@ -10,9 +10,11 @@ import graft.ops.IncrementalIndex
  * `PartialFit` mini-batch accretion
  * (`/root/reference/randomprojection.go:253-270`, `vectorisers.go:22-25`)
  * maps to Structured Streaming `foreachBatch` — each micro-batch of new
- * pages is (1) matched against the signature index built so far (newly
- * arriving near-duplicates surface immediately) and (2) appended to the
- * index. The reference has no event-time semantics (its "streaming" is
+ * pages is (1) appended to the index and (2) matched against it —
+ * put-first, so near-duplicates that arrive in the SAME trigger match
+ * each other immediately (a doc's own stored row is excluded by
+ * identity; see [[IngestLifecycle]] for the full ordering argument).
+ * The reference has no event-time semantics (its "streaming" is
  * state accretion only), so no watermarking is required. foreachBatch
  * delivery is AT-LEAST-ONCE on failure/replay; the index write is made
  * effectively exactly-once by keying each insert on the batchId
@@ -48,20 +50,8 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime("1 second"))
     checkpointLocation.fold(w0)(w0.option("checkpointLocation", _))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.cache()
-        try {
-          if (!index.isEmpty) {
-            // search() returns a materialized snapshot; free it once
-            // the callback returns (invariant 32: a long-running stream
-            // must not accrete one match-sized block set per batch).
-            // The frame is therefore valid only WITHIN the callback —
-            // act on it there (write/collect), don't stash it lazily.
-            val m = index.search(b)
-            try onMatches(m) finally graft.ckpt.Checkpoints.free(m)
-          }
-          index.putBatch(b, batchId)
-        } finally b.unpersist()
-        ()
+        IngestLifecycle.run(batch, batchId,
+          put = index.putBatch, search = index.search(_), onMatches)
       }
       .start()
   }

@@ -212,11 +212,20 @@ object SuffixArrayStage {
     // counting the true df, so no separate anchor-cardinality counting
     // shuffle + driver collect is needed (the previous shape paid a full
     // ~(docs × anchors/doc)-row shuffle just to pre-drop hot keys).
+    // winnowCtx carries a content sort key per anchor (the 4 chars
+    // AFTER the shared k-gram, unsigned-packed): candidatePairs chains
+    // oversized buckets in skey order, so a true pair — whose run
+    // extends past the anchor — sorts adjacent and survives the cap,
+    // where the skey-less fallback (doc_id = random hash order) missed
+    // it with probability → 1 as buckets grow. Same guarantee shape as
+    // the MinHash path's signature sort key (explodeBands' contract).
     val buckets = base.select(col("doc_id"), explode(
-        graft.hash.HashFunctions.winnow(col("__text"), k, window)).as("key"))
+        graft.hash.HashFunctions.winnowCtx(col("__text"), k, window)).as("kc"))
+      .select(col("doc_id"), col("kc.key").as("key"),
+        col("kc.skey").as("skey"))
       .withColumn("band", lit(2000))
     val cands = graft.lsh.Lsh.candidatePairs(
-        buckets.select("doc_id", "band", "key"), "doc_id", maxBucket,
+        buckets.select("doc_id", "band", "key", "skey"), "doc_id", maxBucket,
         chainWidth, hardCap = hotAnchorDf + 1, dropAbove = hotAnchorDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim pair set is read three times below (two member-id

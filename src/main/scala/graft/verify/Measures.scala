@@ -38,9 +38,16 @@ object Measures {
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
   /** Cosine similarity of dense double arrays
-    * (`comparisons.go:17-29`; NaN when either norm is 0, as reference). */
-  def cosineDense(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    * (`comparisons.go:17-29`; NaN when either norm is 0, as reference).
+    * The zero-norm NaN is produced EXPLICITLY, not by dividing: under
+    * ANSI mode (the Spark 4 default) a bare 0/0 raises
+    * DIVIDE_BY_ZERO — one zero vector (a padding row, a failed
+    * encoder) would kill the entire top-k/near-dup job instead of
+    * scoring as the reference's undefined-similarity NaN. */
+  def cosineDense(a: Column, b: Column): Column = {
+    val np = l2norm(a) * l2norm(b)
+    when(np === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / np)
+  }
 
   /** Cosine over sorted sparse entry arrays Struct(term, weight):
     * dot via map lookup on the smaller operand. */
@@ -56,7 +63,9 @@ object Measures {
     val nb = sqrt(aggregate(transform(b,
       e => e.getField("weight") * e.getField("weight")),
       lit(0.0), (acc, v) => acc + v))
-    d / (na * nb)
+    // explicit zero-norm NaN — same ANSI divide-by-zero guard as
+    // cosineDense
+    when(na * nb === 0.0, lit(Double.NaN)).otherwise(d / (na * nb))
   }
 
   /** CosineDistance = 1 − cos (`comparisons.go:39-41`). */

@@ -48,7 +48,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val sigs = DedupPipeline.signatures(
       DedupPipeline.exactDedup(ext)._2, DedupConfig())
     val cands = DedupPipeline.candidates(sigs, DedupConfig())
-    val ver = DedupPipeline.verifyPairs(cands, sigs, DedupConfig())
+    val ver = DedupPipeline.verifyPairs(cands, sigs, DedupConfig(),
+      broadcastMembers = true)
     val plan = ver.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(4000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))

@@ -19,6 +19,9 @@ class Round5ReviewSpec extends AnyFunSuite with SparkSpec {
     d.getAbsolutePath
   }
 
+  private def doc(p: String) = (1 to 60).map(i =>
+    p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+
   test("rowCount rebuild runs OUTSIDE the writer lease: a stale-manifest " +
     "recount neither fails nor is failed by a concurrent lease holder, " +
     "and defers its manifest persist to the next uncontended call") {
@@ -112,5 +115,71 @@ class Round5ReviewSpec extends AnyFunSuite with SparkSpec {
       .head().getSeq[Double](0)(0)
     assert(stamped === 4.0,
       s"refit must stamp 4 distinct ids, not 12 stored rows (got $stamped)")
+  }
+
+  test("zero-norm embeddings never rank as neighbors: Spark orders NaN " +
+    "above every real double, so an unfiltered zero vector would " +
+    "silently take rank 1 for EVERY query") {
+    import spark.implicits._
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
+    val corpus = ((1L to 6L).map(i => (i, vec(i))) :+
+      ((99L, Seq.fill(16)(0.0f.toFloat)))).toDF("id", "vec")
+    val queries = Seq((1000L, vec(3L))).toDF("id", "vec")
+    val bf = graft.ops.TrainingDataOps
+      .bruteForceTopK(corpus, "id", "vec", queries, 3)
+      .as[(Long, Long, Int)].collect()
+    assert(!bf.exists(_._2 == 99L),
+      s"the zero vector must not be a neighbor (got ${bf.mkString(",")})")
+    assert(bf.map(_._3).sorted.toSeq === Seq(1, 2, 3))
+    val lsh = graft.ops.TrainingDataOps
+      .lshTopK(corpus, "id", "vec", queries, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(!lsh.exists(_._2 == 99L))
+  }
+
+  test("rows with neither a doc_id nor a url fail LOUDLY: xxhash64(null) " +
+    "would fold them all onto one shared identity the audit cannot see") {
+    import spark.implicits._
+    val pages = Seq((null.asInstanceOf[String], doc("aa")),
+      (null.asInstanceOf[String], doc("bb")),
+      ("u1", doc("cc"))).toDF("url", "text")
+    val e = intercept[IllegalArgumentException] {
+      DedupPipeline.run(pages)
+    }
+    assert(e.getMessage.contains("no identity"))
+    // the index put path enforces the same contract
+    val ix = new graft.ops.IncrementalIndex(spark, s"${freshDir()}/idx")
+    val e2 = intercept[IllegalArgumentException] { ix.put(pages) }
+    assert(e2.getMessage.contains("no identity"))
+  }
+
+  test("winnowCtx: the key stream is byte-identical to winnow's, and " +
+    "two docs sharing a run carry a shared (key, skey) anchor — the " +
+    "adjacency that lets chain pairing connect true substring dups " +
+    "inside oversized buckets") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog again and again here"
+    val a = common + " tail of document alpha with its own words"
+    val b = common + " entirely different continuation for beta"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "t")
+    val k = 8; val w = 23
+    val plain = df.select(col("id"),
+        graft.hash.HashFunctions.winnow(col("t"), k, w).as("ks"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val ctx = df.select(col("id"), explode(
+        graft.hash.HashFunctions.winnowCtx(col("t"), k, w)).as("kc"))
+      .select(col("id"), col("kc.key"), col("kc.skey"))
+      .as[(Long, Long, Long)].collect()
+    // identical fingerprint stream (golden-pinned kernels share the
+    // selection core)
+    assert(ctx.filter(_._1 == 1L).map(_._2).toSeq === plain(1L))
+    assert(ctx.filter(_._1 == 2L).map(_._2).toSeq === plain(2L))
+    // at least one anchor inside the shared run carries an equal skey
+    // in both docs (its 4 following chars are inside the run too)
+    val pairsA = ctx.filter(_._1 == 1L).map(r => (r._2, r._3)).toSet
+    val pairsB = ctx.filter(_._1 == 2L).map(r => (r._2, r._3)).toSet
+    assert((pairsA intersect pairsB).nonEmpty,
+      "shared-run anchors must agree on (key, skey) so the pair sorts " +
+        "adjacent in an oversized bucket")
   }
 }

@@ -100,14 +100,17 @@ class Round5StreamingSpec extends AnyFunSuite with SparkSpec {
 
     val q1 = begin()
     stream.addData((0L until 8L).map(i => (i, vec(i))): _*)
-    q1.processAllAvailable() // batch 0: index empty, onMatches skipped
-    stream.addData((8L until 16L).map(i => (i, vec(i))): _*)
-    // batch 1: onMatches throws BEFORE the index write — the query dies
+    // batch 0: put-first has already landed the batch in the index
+    // when onMatches throws — the query dies with the streaming commit
+    // never written, the at-least-once window putBatch exists for
     intercept[Exception] { q1.processAllAvailable() }
     q1.stop()
 
-    val q2 = begin() // restart: checkpoint says batch 1 uncommitted
-    q2.processAllAvailable() // replays batch 1, this time clean
+    val q2 = begin() // restart: checkpoint says batch 0 uncommitted
+    // replays batch 0 (overwrites its own partition — idempotent),
+    // then processes batch 1 clean
+    stream.addData((8L until 16L).map(i => (i, vec(i))): _*)
+    q2.processAllAvailable()
     q2.stop()
 
     val idx = new graft.ops.IvfIndex(spark, idxDir, nCells = 4, nProbe = 4)
@@ -118,5 +121,34 @@ class Round5StreamingSpec extends AnyFunSuite with SparkSpec {
     val got = idx.search(Seq((999L, vec(6L))).toDF("id", "vec"), 1)
       .as[(Long, Long, Int)].collect()
     assert(got.map(r => (r._1, r._2)).toSet === Set((999L, 6L)))
+  }
+
+  test("put-first ingest: near-duplicates arriving in the SAME " +
+    "micro-batch match each other — including in the very first batch " +
+    "(search-before-put left a co-arriving pair silent FOREVER: " +
+    "neither doc is ever a query again)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = freshDir()
+    val a = doc("xy")
+    val near = a.replace(" xyb ", " changed ")
+    val matches = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
+
+    val stream = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingDedup.start(
+      spark, stream.toDF().toDF("url", "text"), s"$base/idx",
+      checkpointLocation = Some(s"$base/ckpt"),
+      onMatches = m => m.select("query_url", "match_url")
+        .as[(String, String)].collect().foreach(matches.add))
+    // ONE batch: the pair arrives together, plus an unrelated singleton
+    stream.addData(("u1", a), ("u2", near), ("u3", doc("zz")))
+    q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = matches.asScala.toSet
+    assert(got === Set(("u1", "u2"), ("u2", "u1")),
+      s"co-arriving pair must surface both ways, self excluded (got $got)")
   }
 }
