@@ -354,19 +354,24 @@ class IvfIndex(spark: SparkSession, path: String,
     // touched. (A re-put whose new vector landed in a cell outside the
     // probe set still serves its newest PROBED row — the documented
     // read-side bound; remove()+put() is the exact-replace path.)
+    // a zero-norm vector scores NaN against everything and Spark ranks
+    // NaN above every real double — drop zero-norm ROWS from each side
+    // of the scoring join (same contract as TrainingDataOps
+    // .bruteForceTopK; per-row, unlike a per-pair `!isnan(cos)` filter
+    // that Catalyst pushes through the projection, costing the cosine
+    // twice per pair). The stored side filters AFTER max_by so a
+    // zero-norm re-put still shadows its older rows (last-put-wins),
+    // it just serves no neighbors.
     val latest = stored
       .groupBy("neighbor_id")
       .agg(max_by(col("cv"), struct(col("batch"), col("cell"))).as("cv"))
+      .filter(Measures.nonZeroNorm(col("cv")))
     val scored = cands
-      .join(q0, "query_id")
+      .join(q0.filter(Measures.nonZeroNorm(col("qv"))), "query_id")
       .join(latest, "neighbor_id")
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),
         transform(col("cv"), x => x.cast("double"))))
-      // a zero-norm stored vector scores NaN against every query and
-      // Spark ranks NaN above every real double — filter it out of the
-      // neighbor ranking (same contract as TrainingDataOps.bruteForceTopK)
-      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     (scored.withColumn("rank", row_number().over(w))

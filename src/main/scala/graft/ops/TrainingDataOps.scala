@@ -91,20 +91,22 @@ object TrainingDataOps {
    */
   def bruteForceTopK(embeddings: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, k: Int): DataFrame = {
+    // zero-norm embeddings (padding rows, failed encoders) score NaN
+    // against EVERY query (cosineDense keeps the reference's 0/0
+    // contract), and Spark orders NaN ABOVE every real double — an
+    // unfiltered zero vector would silently occupy rank 1 for every
+    // query. Undefined similarity is not a neighbor: drop the zero-norm
+    // ROWS per side (equivalent to, and 2-3× cheaper than, a per-pair
+    // `!isnan(cos)` filter — see Measures.nonZeroNorm).
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .filter(Measures.nonZeroNorm(col("qv")))
     val c = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .filter(Measures.nonZeroNorm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),
         transform(col("cv"), x => x.cast("double"))))
-      // zero-norm embeddings (padding rows, failed encoders) score NaN
-      // against EVERY query (cosineDense keeps the reference's 0/0
-      // contract), and Spark orders NaN ABOVE every real double — an
-      // unfiltered zero vector would silently occupy rank 1 for every
-      // query. Undefined similarity is not a neighbor: drop it here,
-      // where the ranking semantics live, not in the measure.
-      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -193,12 +195,17 @@ object TrainingDataOps {
               maxBucket: Int = 4096): DataFrame = {
     import embeddings.sparkSession.implicits._
     def sig(vec: Column): Column = embeddingSig(vec)
-    val cb = embeddings.select(col(idCol).as("neighbor_id"),
+    // zero-norm rows out per side BEFORE signatures: their cosine is
+    // NaN against everything (must not outrank real neighbors — see
+    // bruteForceTopK) and their signature work is wasted
+    val emb = embeddings.filter(Measures.nonZeroNorm(col(vecCol)))
+    val qrs = queries.filter(Measures.nonZeroNorm(col(vecCol)))
+    val cb = emb.select(col(idCol).as("neighbor_id"),
         sig(col(vecCol)).as("csig"))
       .select($"neighbor_id", explode(
         graft.lsh.Lsh.simhashBandKeys($"csig", tables, bits)).as("bk"))
       .select($"neighbor_id", $"bk.band", $"bk.key")
-    val qb = queries.select(col(idCol).as("query_id"),
+    val qb = qrs.select(col(idCol).as("query_id"),
         sig(col(vecCol)).as("qsig"))
       .select($"query_id", explode(
         graft.lsh.Lsh.simhashBandKeys($"qsig", tables, bits)).as("bk"))
@@ -217,16 +224,13 @@ object TrainingDataOps {
       .filter($"query_id" =!= $"neighbor_id")
       .distinct()
     val scored = cands
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      .join(qrs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         "query_id")
-      .join(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         "neighbor_id")
       .withColumn("cos", Measures.cosineDense(
         transform($"qv", x => x.cast("double")),
         transform($"cv", x => x.cast("double"))))
-      // see bruteForceTopK: NaN (zero-norm) rows must not outrank every
-      // real neighbor
-      .filter(!isnan(col("cos")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
