@@ -178,19 +178,25 @@ object Ivf {
   def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, nCells: Int, nProbe: Int,
               iters: Int = 10, sampleCap: Int = 4096): DataFrame = {
-    val cents = fitCentroids(embeddings, idCol, vecCol, nCells, iters, sampleCap)
-    val c = embeddings.select(col(idCol).as("neighbor_id"),
+    // zero-norm rows out per side BEFORE the probe: their cosine is NaN
+    // against everything and Spark ranks NaN above every real double —
+    // same contract as bruteForceTopK (which this must equal at
+    // nProbe = nCells), and the probe/assignment work is wasted on them
+    val emb = embeddings.filter(Measures.nonZeroNorm(col(vecCol)))
+    val qrs = queries.filter(Measures.nonZeroNorm(col(vecCol)))
+    val cents = fitCentroids(emb, idCol, vecCol, nCells, iters, sampleCap)
+    val c = emb.select(col(idCol).as("neighbor_id"),
       element_at(probe(col(vecCol), cents, 1), 1).as("cell"))
-    val q = queries.select(col(idCol).as("query_id"),
+    val q = qrs.select(col(idCol).as("query_id"),
       explode(probe(col(vecCol), cents, nProbe)).as("cell"))
     // id-only candidates through the cell join; vectors re-join once
     val cands = q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = cands
-      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+      .join(qrs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         "query_id")
-      .join(embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+      .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         "neighbor_id")
       .withColumn("cos", Measures.cosineDense(
         transform(col("qv"), x => x.cast("double")),

@@ -41,8 +41,16 @@ object TrainingDataOps {
         size(filter(toks, t => array_contains(
           lit(qualityStopWords.toArray), t))).cast("double") / size(toks))
       .withColumn("alpha_ratio",
-        (length(regexp_replace(text, "[^a-z]", "")).cast("double")
-          / length(text)))
+        // empty text divides by length 0 — ANSI raises DIVIDE_BY_ZERO
+        // even for doubles, so one failed-extraction row would kill
+        // the job. 0.0, not NaN: these are quality-GATE inputs, and
+        // under Spark's NaN ordering NaN >= τ is TRUE — a NaN ratio
+        // would silently PASS any min-quality filter; 0.0 reads as
+        // worst-quality, consistent with the token metrics (split("")
+        // yields [""], so they already score 0 on empty docs).
+        when(length(text) === 0, lit(0.0)).otherwise(
+          length(regexp_replace(text, "[^a-z]", "")).cast("double")
+            / length(text)))
   }
 
   /** Marker-word tables for the n-gram/marker language-id heuristic.
@@ -148,7 +156,13 @@ object TrainingDataOps {
   def cosineNearDup(embeddings: DataFrame, idCol: String, vecCol: String,
                     tau: Double, tables: Int = 8, bits: Int = 8,
                     maxBucket: Int = 64, chainWidth: Int = 3): DataFrame = {
-    val sigs = embeddings.select(col(idCol).as("__id"),
+    // zero-norm rows out BEFORE signatures: their cosine is NaN against
+    // everything, and in Spark's NaN ordering `NaN >= tau` is TRUE —
+    // without this filter two all-zero padding rows (identical simhash,
+    // certain band collision) would be reported as a near-dup pair with
+    // cos = NaN. Undefined similarity is not a duplicate (invariant 34).
+    val emb = embeddings.filter(Measures.nonZeroNorm(col(vecCol)))
+    val sigs = emb.select(col(idCol).as("__id"),
       embeddingSig(col(vecCol)).as("__sig"))
     val b = sigs.select(col("__id"), explode(
         graft.lsh.Lsh.simhashBandKeys(col("__sig"), tables, bits)).as("bk"))
@@ -158,8 +172,8 @@ object TrainingDataOps {
       .candidatePairs(b, "__id", maxBucket, chainWidth)
       .toDF("a_id", "b_id")
     cands
-      .join(embeddings.select(col(idCol).as("a_id"), col(vecCol).as("av")), "a_id")
-      .join(embeddings.select(col(idCol).as("b_id"), col(vecCol).as("bv")), "b_id")
+      .join(emb.select(col(idCol).as("a_id"), col(vecCol).as("av")), "a_id")
+      .join(emb.select(col(idCol).as("b_id"), col(vecCol).as("bv")), "b_id")
       .withColumn("cos", Measures.cosineDense(
         transform(col("av"), x => x.cast("double")),
         transform(col("bv"), x => x.cast("double"))))

@@ -10,9 +10,19 @@ import org.apache.spark.sql.functions._
  */
 object Measures {
 
-  /** Exact Jaccard over shingle/element sets (north-rule verify). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Exact Jaccard over shingle/element sets (north-rule verify).
+    * Two EMPTY sets are 0/0 — NaN by the reference's float contract,
+    * produced explicitly because ANSI mode (the Spark 4 default)
+    * raises DIVIDE_BY_ZERO on a double divide too (`DivModLike`
+    * checks the divisor for every numeric type): one pair of empty
+    * arrays from a caller would kill the whole job. The dedup
+    * pipeline itself never hits this (`hashedShingles` emits ≥ 1
+    * shingle per doc by construction). */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(Double.NaN))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u)
+  }
 
   /** Hamming distance fraction over 64-bit signatures
     * (`comparisons.go:70-85`): popcount of xor, bit-packed fast path. */
@@ -23,10 +33,14 @@ object Measures {
   def hammingSim64(a: Column, b: Column): Column =
     lit(1.0) - hammingDist64(a, b)
 
-  /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
+  /** MinHash-estimated Jaccard: fraction of agreeing signature slots.
+    * Empty signatures are 0/0 — explicit NaN for the same ANSI
+    * divide-by-zero reason as [[jaccard]] (pipeline signatures are
+    * fixed 128-wide; this is the caller-facing edge). */
   def minhashSim(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
-      .cast("double") / size(a)
+    when(size(a) === 0, lit(Double.NaN))
+      .otherwise(size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+        .cast("double") / size(a))
 
   /** Dot product of two dense double arrays (ordered left fold —
     * deterministic summation order for oracle parity). */
@@ -84,11 +98,19 @@ object Measures {
 
   /** AngularDistance (`comparisons.go:49-56`). Cosine is clamped on
     * BOTH ends: rounding can push near-parallel pairs above +1 and
-    * near-antipodal pairs below −1, and acos of either is NaN — which
-    * every threshold filter silently drops (NaN comparisons are
-    * false). */
-  def angularDist(a: Column, b: Column): Column =
-    acos(greatest(least(cosineDense(a, b), lit(1.0)), lit(-1.0))) / math.Pi
+    * near-antipodal pairs below −1, and acos of either is NaN — but
+    * that NaN would rank/compare ABOVE every real value under Spark's
+    * NaN ordering, not drop out. The clamp must PRESERVE a zero-norm
+    * cosine's NaN (the reference's undefined-similarity contract):
+    * `least(NaN, 1.0)` is 1.0 under that same ordering — the naive
+    * `greatest(least(..))` clamp silently read a zero vector as
+    * IDENTICAL to everything (angular distance 0). Only `greatest`
+    * keeps NaN (NaN ranks largest), so both ends clamp through it:
+    * lower bound directly, upper bound negated. */
+  def angularDist(a: Column, b: Column): Column = {
+    val lo = greatest(cosineDense(a, b), lit(-1.0))
+    acos(-greatest(-lo, lit(-1.0))) / math.Pi
+  }
 
   /** AngularSimilarity (`comparisons.go:60-62`). */
   def angularSim(a: Column, b: Column): Column = lit(1.0) - angularDist(a, b)

@@ -137,6 +137,94 @@ class Round5ReviewSpec extends AnyFunSuite with SparkSpec {
     assert(!lsh.exists(_._2 == 99L))
   }
 
+  test("zero-norm contract holds on ivfTopK and cosineNearDup too: " +
+    "ivfTopK stays ≡ bruteForceTopK at nProbe = nCells with a zero " +
+    "vector planted, and cosineNearDup must not report two all-zero " +
+    "rows as a near-dup pair (NaN >= tau is TRUE in Spark's ordering)") {
+    import spark.implicits._
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
+    val zero = Seq.fill(16)(0.0f)
+    val corpus = ((0L until 12L).map(i => (i, vec(i))) ++
+      Seq((98L, zero), (99L, zero))).toDF("id", "vec")
+    // zero vector as corpus member AND as query: neither may surface
+    val queries = Seq((1000L, vec(3L)), (1001L, zero)).toDF("id", "vec")
+    val ivf = graft.ops.Ivf
+      .ivfTopK(corpus, "id", "vec", queries, 3, nCells = 4, nProbe = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(!ivf.exists(r => r._2 == 98L || r._2 == 99L),
+      s"zero vectors must not be neighbors (got ${ivf.mkString(",")})")
+    assert(!ivf.exists(_._1 == 1001L),
+      "a zero-norm query has no defined neighbors and must emit no rows")
+    val bf = graft.ops.TrainingDataOps
+      .bruteForceTopK(corpus, "id", "vec", queries, 3)
+      .as[(Long, Long, Int)].collect()
+    assert(ivf.toSet === bf.toSet,
+      "nProbe = nCells equivalence must survive the zero-norm filter")
+    // pin the semantics claim first: Spark routes double comparisons
+    // through SQLOrderingUtil.compareDoubles (java.lang.Double.compare
+    // ordering), so NaN >= τ is TRUE — a threshold filter does NOT
+    // naturally exclude NaN pairs, unlike Java primitive `>=`
+    assert(spark.range(1)
+      .select((lit(Double.NaN) >= lit(0.9)).as("v"))
+      .head().getBoolean(0),
+      "expected Spark NaN ordering: NaN >= 0.9 must be TRUE")
+    // two identical all-zero rows band-collide with certainty; their
+    // cosine is NaN and NaN >= 0.9 evaluates TRUE under Spark's NaN
+    // ordering — only the per-side filter keeps them out
+    val pairs = graft.ops.TrainingDataOps
+      .cosineNearDup(corpus, "id", "vec", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(!pairs.exists(p =>
+        p._1 == 98L || p._2 == 98L || p._1 == 99L || p._2 == 99L),
+      s"undefined similarity is not a duplicate (got ${pairs.mkString(",")})")
+    // the filter must not cost real pairs: planted partners (2j, 2j+1)
+    // are near-identical and still all present
+    assert((0L until 6L).forall(j => pairs.contains((2 * j, 2 * j + 1))),
+      s"planted partners lost (got ${pairs.sorted.mkString(",")})")
+  }
+
+  test("degenerate measure inputs are NaN, not errors, and the angular " +
+    "clamp preserves NaN: least(NaN, 1.0) is 1.0 under Spark's NaN " +
+    "ordering, so the naive clamp read a zero vector as IDENTICAL to " +
+    "everything; ANSI mode raises DIVIDE_BY_ZERO even on doubles, so " +
+    "empty-set Jaccard must produce its NaN explicitly") {
+    import graft.verify.Measures
+    val row = spark.range(1).select(
+      typedLit(Seq.empty[Long]).as("es"),
+      typedLit(Seq(1L, 2L)).as("s"),
+      typedLit(Seq.empty[Long]).as("esig"),
+      typedLit(Seq(0.0, 0.0, 0.0)).as("zv"),
+      typedLit(Seq(1.0, 2.0, 2.0)).as("v"))
+    val got = row.select(
+      Measures.jaccard(col("es"), col("es")).as("j_ee"),
+      Measures.jaccard(col("es"), col("s")).as("j_es"),
+      Measures.minhashSim(col("esig"), col("esig")).as("mh_e"),
+      Measures.angularDist(col("zv"), col("v")).as("ad_z"),
+      Measures.angularSim(col("zv"), col("v")).as("as_z"),
+      Measures.angularDist(col("v"), col("v")).as("ad_same"),
+      Measures.angularDist(col("v"),
+        transform(col("v"), x => -x)).as("ad_anti")).head()
+    assert(got.getDouble(0).isNaN, "jaccard([], []) must be NaN")
+    assert(got.getDouble(1) === 0.0, "jaccard([], s) is a defined 0")
+    assert(got.getDouble(2).isNaN, "minhashSim([], []) must be NaN")
+    assert(got.getDouble(3).isNaN,
+      "angular distance of a zero vector is undefined — NaN, not 0")
+    assert(got.getDouble(4).isNaN, "angular similarity likewise")
+    assert(got.getDouble(5) === 0.0, "identical vectors: distance 0")
+    assert(math.abs(got.getDouble(6) - 1.0) < 1e-12,
+      "antipodal vectors: clamp at -1 still works, distance 1")
+    // an empty-text document (failed extraction) must score worst
+    // quality, not raise DIVIDE_BY_ZERO on the alpha-ratio divide and
+    // not emit a NaN that would PASS a min-quality gate
+    import spark.implicits._
+    val q = graft.ops.TrainingDataOps
+      .qualityMetrics(Seq((1L, "")).toDF("doc_id", "text"), col("text"))
+      .select("mean_tok_len", "stop_ratio", "alpha_ratio").head()
+    assert(q.getDouble(0) === 0.0 && q.getDouble(1) === 0.0 &&
+      q.getDouble(2) === 0.0,
+      s"empty doc must score 0.0 on every ratio (got $q)")
+  }
+
   test("rows with neither a doc_id nor a url fail LOUDLY: xxhash64(null) " +
     "would fold them all onto one shared identity the audit cannot see") {
     import spark.implicits._
