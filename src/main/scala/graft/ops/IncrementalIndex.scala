@@ -108,14 +108,15 @@ class IncrementalIndex(spark: SparkSession, path: String,
   /** Signature a batch of pages (url, text) with the PERSISTED corpus
     * stats (fitted and saved on the first call). The hashed-tf column
     * is kept in the stored rows so [[refit]] can re-signature every
-    * batch without the raw text. Null caller ids are normalised for
-    * EVERY path: the put paths additionally run the unified
-    * [[resolveCrossBatchIds]] audit (stored identities must be
-    * unambiguous); search queries' ids never enter the store, but an
-    * un-normalised null qid would silently match nothing (null never
-    * equi-joins), and a caller ALIASING one id across distinct query
-    * pages merges those pages' result sets — the per-(qid, match)
-    * dedup keeps one row, so give distinct pages distinct ids. */
+    * batch without the raw text. Null caller ids are normalised to a
+    * null derived id for EVERY path, and every path then fails LOUDLY
+    * on them: the put paths via the unified [[resolveCrossBatchIds]]
+    * audit (stored identities must be unambiguous), the search path
+    * via a per-row raise at query materialization (a null qid never
+    * equi-joins, so the row would otherwise silently match nothing).
+    * A caller ALIASING one id across distinct query pages merges those
+    * pages' result sets — the per-(qid, match) dedup keeps one row, so
+    * give distinct pages distinct ids. */
   private def signatures(pages: DataFrame): DataFrame = {
     val ext0 = DedupPipeline.extract(pages, cfg)
     // collision RESOLUTION for the put paths lives in
@@ -204,12 +205,17 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * row added since the last confirmation adds at most one distinct
     * doc, so `d0 + (rows - rows0)` tightens the bound without a job;
     * (3) an exact distinct count runs only when the bound crosses the
-    * threshold AND rows have grown `autoRefitGrowth`× since the last
-    * confirmation — re-puts grow rows on every put, so without the
-    * geometric backoff a re-put stream would pay the count job per
-    * put. The backoff delays a refit by at most one growth factor,
-    * the same amortisation the refit itself rides on. A shrunken row
-    * count (remove/compact rewrite) invalidates the memo. */
+    * threshold AND at least `autoRefitGrowth`·n rows have landed since
+    * the last confirmation — re-puts grow rows on every put, so
+    * without the backoff a re-put stream would pay the count job per
+    * put. The stride is denominated in the BOUND's currency (growth×
+    * the fit population), NOT a multiple of raw rows: a rows-multiple
+    * backoff lets a re-put-heavy prefix (rows ≫ distinct) defer a
+    * genuinely-due refit by millions of puts, serving a stale fit for
+    * the whole window. With the fixed stride a due refit is delayed by
+    * at most growth·n puts, and the count job runs at most once per
+    * growth·n puts in the adversarial no-new-ids stream. A shrunken
+    * row count (remove/compact rewrite) invalidates the memo. */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0) loadStats().foreach { st =>
       val rows = store.rowCount()
@@ -219,7 +225,7 @@ class IncrementalIndex(spark: SparkSession, path: String,
       val needConfirm = confirmedDocs match {
         case Some((d0, rows0)) =>
           d0 + (rows - rows0) >= autoRefitGrowth * st.n &&
-            rows >= autoRefitGrowth * rows0
+            rows >= rows0 + autoRefitGrowth * st.n
         case None => rows >= autoRefitGrowth * st.n
       }
       if (needConfirm) {
@@ -589,7 +595,19 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // misses. localCheckpoint materializes one snapshot that every
     // downstream plan reads (executor-local blocks: a lost executor
     // fails the query loudly rather than serving a partial answer).
-    val q = signatures(pages).localCheckpoint(true)
+    // Identity-less queries (null url AND no caller doc_id) fail
+    // loudly HERE, at materialization: the put paths catch null ids
+    // in resolveCrossBatchIds, but no audit runs on reads, and a null
+    // qid never equi-joins — the query row would contribute zero
+    // result rows with no signal. Per-row coalesce short-circuit: no
+    // extra job, no cost on well-formed rows.
+    val q = signatures(pages)
+      .withColumn("doc_id", coalesce(col("doc_id"), raise_error(lit(
+        "identity-less search query: null url and no doc_id — search " +
+          "results are keyed by qid, so such a row can never surface " +
+          "its matches; give each query page a url or a doc_id"))
+        .cast("long")))
+      .localCheckpoint(true)
     // a failure below (the pb-pruning collect, batch listing) must not
     // orphan the query pin — free it on the error path, rethrow
     try {

@@ -165,10 +165,12 @@ class IvfIndex(spark: SparkSession, path: String,
 
   /** Growth check, cheapest-evidence-first: manifest row count (one
     * file read, no Spark job) → memo-tightened distinct upper bound →
-    * an exact distinct count only when the bound crosses AND rows grew
-    * `autoRefitGrowth`× since the last confirmation (geometric backoff
-    * — see IncrementalIndex.maybeAutoRefit; re-puts grow rows per put,
-    * so an unbacked-off confirm would run per put). */
+    * an exact distinct count only when the bound crosses AND at least
+    * `autoRefitGrowth`·atFit rows landed since the last confirmation
+    * (fixed-stride backoff in the BOUND's currency — see
+    * IncrementalIndex.maybeAutoRefit for why a rows-multiple backoff
+    * is wrong here; re-puts grow rows per put, so an unbacked-off
+    * confirm would run per put). */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0)
       fitSize().foreach { atFit =>
@@ -179,7 +181,7 @@ class IvfIndex(spark: SparkSession, path: String,
         val needConfirm = confirmedIds match {
           case Some((d0, rows0)) =>
             d0 + (rows - rows0) >= autoRefitGrowth * atFit &&
-              rows >= autoRefitGrowth * rows0
+              rows >= rows0 + autoRefitGrowth * atFit
           case None => rows >= autoRefitGrowth * atFit
         }
         if (needConfirm) {

@@ -164,9 +164,17 @@ object TrainingDataOps {
     val emb = embeddings.filter(Measures.nonZeroNorm(col(vecCol)))
     val sigs = emb.select(col(idCol).as("__id"),
       embeddingSig(col(vecCol)).as("__sig"))
-    val b = sigs.select(col("__id"), explode(
-        graft.lsh.Lsh.simhashBandKeys(col("__sig"), tables, bits)).as("bk"))
-      .select(col("__id"), col("bk.band"), col("bk.key"))
+    // the SIGNATURE is the chain sort key: beyond `maxBucket` members a
+    // bucket switches to skey-ordered chain pairing, and chaining on
+    // caller ids (the no-skey fallback) orders hot buckets randomly —
+    // at n ≫ maxBucket·2^bits EVERY bucket is oversized and a true
+    // near-dup pair more than chainWidth apart in id order is missed
+    // in ALL bands (id order is identical across bands). Hamming-near
+    // signatures sort adjacent, so near-identical vectors stay within
+    // chain reach.
+    val b = graft.lsh.Lsh.explodeBands(sigs, "__id",
+      graft.lsh.Lsh.simhashBandKeys(col("__sig"), tables, bits),
+      col("__sig"))
     // id-only pair dedup through the band shuffle; vectors join after
     val cands = graft.lsh.Lsh
       .candidatePairs(b, "__id", maxBucket, chainWidth)

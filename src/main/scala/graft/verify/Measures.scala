@@ -51,16 +51,22 @@ object Measures {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Per-ROW stand-in for the per-PAIR zero-norm NaN test: cosineDense
-    * is NaN exactly when one side's norm — computed THIS way, same
-    * cast and same underflow — is 0, so filtering each input side on
-    * this predicate (n + q row checks, pushed to the scan) removes
-    * precisely the pairs a `!isnan(cos)` filter would. The per-pair
-    * form is a measured trap: Catalyst pushes the filter through the
-    * scoring projection and re-evaluates the whole cosine (three
-    * aggregate() folds) per pair — 2-3× on the ANN paths. */
-  def nonZeroNorm(vec: Column): Column =
-    l2norm(transform(vec, x => x.cast("double"))) =!= 0.0
+  /** Per-ROW stand-in for the per-PAIR undefined-cosine NaN test:
+    * cosineDense is NaN exactly when one side's norm — computed THIS
+    * way, same cast and same underflow — is 0 OR NaN (a NaN component
+    * from a failed encoder makes the norm NaN, and Spark's total
+    * ordering treats NaN =!= 0.0 as TRUE, so a zero-only check lets
+    * such a row through to outrank every real neighbour at rank 1 and
+    * pass every `>= tau` threshold). Filtering each input side on this
+    * predicate (n + q row checks, pushed to the scan) removes precisely
+    * the pairs a `!isnan(cos)` filter would. The per-pair form is a
+    * measured trap: Catalyst pushes the filter through the scoring
+    * projection and re-evaluates the whole cosine (three aggregate()
+    * folds) per pair — 2-3× on the ANN paths. */
+  def nonZeroNorm(vec: Column): Column = {
+    val n = l2norm(transform(vec, x => x.cast("double")))
+    !isnan(n) && n =!= 0.0
+  }
 
   /** Cosine similarity of dense double arrays
     * (`comparisons.go:17-29`; NaN when either norm is 0, as reference).

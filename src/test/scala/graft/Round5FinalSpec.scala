@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ckpt.Fs
+
+/** Round-5 closing review contracts: NaN-component rows are excluded
+  * everywhere the zero-norm filter runs (Spark's total ordering makes
+  * `NaN =!= 0.0` TRUE, so a zero-only check let a failed-encoder row
+  * outrank every real neighbour), cosineNearDup's oversized buckets
+  * chain in SIGNATURE order (id-order chaining misses true pairs with
+  * probability → 1 as buckets grow — and at n ≫ maxBucket·2^bits EVERY
+  * bucket is oversized in EVERY band), the auto-refit confirm backoff
+  * is denominated in the bound's currency so a re-put-heavy prefix
+  * cannot defer a due refit by a rows multiple, and identity-less
+  * search queries fail loudly instead of silently matching nothing. */
+class Round5FinalSpec extends AnyFunSuite with SparkSpec {
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-r5f-").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def doc(p: String) = (1 to 60).map(i =>
+    p + ('a' + i % 26).toChar.toString * (1 + i / 26)).mkString(" ")
+
+  test("a NaN-component vector (failed encoder) is excluded like a " +
+    "zero vector: its norm is NaN, NaN =!= 0.0 is TRUE in Spark's " +
+    "ordering, and unfiltered it takes rank 1 for EVERY query and " +
+    "passes every >= tau threshold") {
+    import spark.implicits._
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
+    val bad = Float.NaN +: Seq.fill(15)(1.0f)
+    val corpus = ((0L until 12L).map(i => (i, vec(i))) ++
+      Seq((98L, bad))).toDF("id", "vec")
+    val queries = Seq((1000L, vec(3L)), (1001L, bad)).toDF("id", "vec")
+    // the semantics pin: the row really does pass a zero-only filter
+    assert(spark.range(1)
+      .select((lit(Double.NaN) =!= lit(0.0)).as("v"))
+      .head().getBoolean(0),
+      "expected Spark NaN ordering: NaN =!= 0.0 must be TRUE")
+    val bf = graft.ops.TrainingDataOps
+      .bruteForceTopK(corpus, "id", "vec", queries, 3)
+      .as[(Long, Long, Int)].collect()
+    assert(!bf.exists(_._2 == 98L),
+      s"NaN-norm vectors must not be neighbors (got ${bf.mkString(",")})")
+    assert(!bf.exists(_._1 == 1001L),
+      "a NaN-norm query has no defined neighbors and must emit no rows")
+    assert(bf.count(_._1 == 1000L) === 3,
+      "the filter must not cost the well-formed query its k results")
+    val pairs = graft.ops.TrainingDataOps
+      .cosineNearDup(corpus, "id", "vec", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(!pairs.exists(p => p._1 == 98L || p._2 == 98L),
+      s"undefined similarity is not a duplicate (got ${pairs.mkString(",")})")
+  }
+
+  test("cosineNearDup chains oversized buckets in SIGNATURE order: a " +
+    "planted identical pair far apart in id order is still found when " +
+    "every band bucket exceeds maxBucket (the 100-TB regime — id-order " +
+    "chaining would miss it in ALL bands at once, since id order is " +
+    "the same in every band)") {
+    import spark.implicits._
+    // even seeds only: vectorOf plants (2j, 2j+1) partner pairs, so
+    // distinct even seeds give mutually-unrelated cluster bases
+    def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(2 * i, 16).toSeq
+    // 100 mutually-unrelated vectors; ids 7 and 93 replaced by one
+    // identical vector. bits=2 → 4 buckets/band → every bucket holds
+    // ~25 ≫ maxBucket=4 members, so NO bucket takes the all-pairs
+    // path anywhere: the pair survives only if chain order puts its
+    // two rows adjacent, which the identical signature guarantees
+    // under skey sort and id order does not (85 ids apart).
+    val planted = vec(777L)
+    val corpus = (0L until 100L).map(i =>
+      (i, if (i == 7L || i == 93L) planted else vec(i)))
+      .toDF("id", "vec")
+    val pairs = graft.ops.TrainingDataOps
+      .cosineNearDup(corpus, "id", "vec", tau = 0.99,
+        tables = 2, bits = 2, maxBucket = 4, chainWidth = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((7L, 93L)),
+      s"expected exactly the planted pair through chain-only buckets, " +
+        s"got ${pairs.mkString(",")}")
+  }
+
+  test("auto-refit confirm backoff is denominated in the BOUND's " +
+    "currency (growth × fit population), not a rows multiple: a " +
+    "re-put-inflated store still refits within growth·atFit puts of " +
+    "genuine distinct growth") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/ivf"
+    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 2, nProbe = 2,
+      autoRefitGrowth = 2.0)
+    def batch(ids: Range) = ids.map(i =>
+      (i.toLong, graft.data.SyntheticVectors.vectorOf(i.toLong, 16)))
+      .toDF("id", "vec")
+    idx.put(batch(0 until 4))          // codebook fitted, atFit = 4
+    val bookAt = Fs.modifiedMs(s"$dir/codebook", hconf).get
+    // re-put-heavy prefix: rows 4 → 40 while distinct stays 4 — the
+    // memo confirms along the way and lands at (d0=4, rows0=40)
+    (1 to 9).foreach(_ => idx.put(batch(0 until 4)))
+    Thread.sleep(1100)                 // mtime granularity
+    assert(Fs.modifiedMs(s"$dir/codebook", hconf).get === bookAt,
+      "re-puts of the same identities must not refit")
+    // genuine growth: 4 new ids make distinct = 8 ≥ 2×4 — the refit is
+    // now DUE. rows = 44 < rows0 + growth·atFit = 48: within the
+    // documented at-most-growth·atFit delay window, so not yet…
+    idx.put(batch(100 until 104))
+    // …and the very next batch crosses the stride at rows = 48. A
+    // rows-multiple backoff (rows ≥ growth·rows0 = 80) would defer the
+    // due refit for another 32 puts, serving the 4-id codebook to a
+    // 12-id corpus the whole time.
+    idx.put(batch(104 until 108))
+    assert(Fs.modifiedMs(s"$dir/codebook", hconf).get > bookAt,
+      "a due refit must land within growth·atFit puts of the distinct " +
+        "threshold crossing, regardless of prior re-put row inflation")
+  }
+
+  test("identity-less search queries fail LOUDLY: a null-url page with " +
+    "no doc_id would otherwise derive a null qid that never equi-joins " +
+    "and silently returns zero matches (the put paths already fail " +
+    "loudly via the cross-batch audit)") {
+    import spark.implicits._
+    val dir = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, dir)
+    idx.put(Seq(("u1", doc("a")), ("u2", doc("b"))).toDF("url", "text"))
+    // well-formed queries still work (distinct url: self-matches on
+    // the same qid are excluded by design)
+    assert(idx.search(Seq(("q1", doc("a"))).toDF("url", "text"))
+      .count() >= 1L)
+    val e = intercept[Exception] {
+      idx.search(Seq((null.asInstanceOf[String], doc("a")))
+        .toDF("url", "text")).count()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("identity-less"),
+      s"expected the loud identity-less raise, got:\n$msgs")
+  }
+}
