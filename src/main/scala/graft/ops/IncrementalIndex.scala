@@ -212,10 +212,15 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * the fit population), NOT a multiple of raw rows: a rows-multiple
     * backoff lets a re-put-heavy prefix (rows ≫ distinct) defer a
     * genuinely-due refit by millions of puts, serving a stale fit for
-    * the whole window. With the fixed stride a due refit is delayed by
-    * at most growth·n puts, and the count job runs at most once per
-    * growth·n puts in the adversarial no-new-ids stream. A shrunken
-    * row count (remove/compact rewrite) invalidates the memo. */
+    * the whole window. The stride is additionally floored at 1% of
+    * the confirmed store size: with a TINY fit population over a
+    * massively re-put-inflated store (4 ids, 10^9 rows — a corpus
+    * compaction would normally collapse), a bare growth·n stride
+    * re-arms the full-store count every handful of puts; the floor
+    * caps total confirm work at ~100 store scans per store doubling
+    * while keeping the detection delay ≤ max(growth·n, 1% of rows)
+    * puts. A shrunken row count (remove/compact rewrite) invalidates
+    * the memo. */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0) loadStats().foreach { st =>
       val rows = store.rowCount()
@@ -225,7 +230,8 @@ class IncrementalIndex(spark: SparkSession, path: String,
       val needConfirm = confirmedDocs match {
         case Some((d0, rows0)) =>
           d0 + (rows - rows0) >= autoRefitGrowth * st.n &&
-            rows >= rows0 + autoRefitGrowth * st.n
+            rows >= rows0 +
+              math.max(autoRefitGrowth * st.n, rows0 / 100.0)
         case None => rows >= autoRefitGrowth * st.n
       }
       if (needConfirm) {

@@ -166,11 +166,12 @@ class IvfIndex(spark: SparkSession, path: String,
   /** Growth check, cheapest-evidence-first: manifest row count (one
     * file read, no Spark job) → memo-tightened distinct upper bound →
     * an exact distinct count only when the bound crosses AND at least
-    * `autoRefitGrowth`·atFit rows landed since the last confirmation
-    * (fixed-stride backoff in the BOUND's currency — see
+    * max(`autoRefitGrowth`·atFit, 1% of the confirmed store) rows
+    * landed since the last confirmation (stride in the BOUND's
+    * currency, floored by store size — see
     * IncrementalIndex.maybeAutoRefit for why a rows-multiple backoff
-    * is wrong here; re-puts grow rows per put, so an unbacked-off
-    * confirm would run per put). */
+    * defers a due refit and why the bare identity stride over-counts
+    * on a tiny-fit re-put-inflated store). */
   private def maybeAutoRefit(): Unit =
     if (autoRefitGrowth > 1.0)
       fitSize().foreach { atFit =>
@@ -181,7 +182,8 @@ class IvfIndex(spark: SparkSession, path: String,
         val needConfirm = confirmedIds match {
           case Some((d0, rows0)) =>
             d0 + (rows - rows0) >= autoRefitGrowth * atFit &&
-              rows >= rows0 + autoRefitGrowth * atFit
+              rows >= rows0 +
+                math.max(autoRefitGrowth * atFit, rows0 / 100.0)
           case None => rows >= autoRefitGrowth * atFit
         }
         if (needConfirm) {
