@@ -27,11 +27,21 @@ import org.apache.spark.sql.types._
  * exact `total` lets callers drop boilerplate buckets
  * (`total > dropAbove`) with no separate counting pass.
  *
- * Determinism: which `cap` members survive an over-cap bucket depends
- * on partition arrival order — identical to the collect_list+slice
- * semantics this replaces, and irrelevant in practice because callers
- * drop over-cap buckets entirely (dropAbove ≤ cap) or treat members
- * as an unordered sample (PairGen re-sorts by skey).
+ * Determinism: the survivors of an over-cap bucket are the `cap`
+ * SMALLEST members by (skey, id) — independent of partition arrival
+ * and merge order (a lazy max-heap replaces the former
+ * append-until-full, whose survivor set changed run to run and, worse,
+ * was CORRELATED across bands: roughly the same map-order prefix
+ * survived in every band, so a member dropped from one hot bucket was
+ * dropped from all of them at once, defeating the independent-band
+ * recall the banding math assumes). Callers choose the decorrelation
+ * through the skey: a per-band salted hash (lshTopK) gives each band
+ * an independent survivor set; a content sort key (candidatePairs)
+ * keeps near-identical members together so chains stay connected.
+ * Under-cap buckets never pay the heap (plain appends, heapify runs
+ * at most once per buffer, replacement is O(log cap) and only on
+ * smaller-than-max rows). Output array order is heap order — PairGen
+ * re-sorts by skey, and set-consumers explode unordered.
  */
 case class CappedCollect(skeyExpr: Expression, idExpr: Expression, cap: Int,
                          mutableAggBufferOffset: Int = 0,
@@ -55,8 +65,7 @@ case class CappedCollect(skeyExpr: Expression, idExpr: Expression, cap: Int,
     // pairs
     if (s != null && i != null) {
       b.total += 1L
-      if (b.n < cap)
-        b.append(s.asInstanceOf[Long], i.asInstanceOf[Long], cap)
+      b.offer(s.asInstanceOf[Long], i.asInstanceOf[Long], cap)
     }
     b
   }
@@ -64,8 +73,8 @@ case class CappedCollect(skeyExpr: Expression, idExpr: Expression, cap: Int,
   override def merge(b: CappedCollect.Buf, o: CappedCollect.Buf): CappedCollect.Buf = {
     b.total += o.total
     var j = 0
-    while (j < o.n && b.n < cap) {
-      b.append(o.skeys(j), o.ids(j), cap)
+    while (j < o.n) {
+      b.offer(o.skeys(j), o.ids(j), cap)
       j += 1
     }
     b
@@ -117,12 +126,16 @@ object CappedCollect {
       nullable = false),
     StructField("total", LongType, nullable = false)))
 
-  /** Growable parallel long arrays; `total` counts beyond the cap. */
+  /** Growable parallel long arrays; `total` counts beyond the cap.
+    * Survivor selection past the cap is a lazily-built max-heap by
+    * (skey, id): deterministic — the cap smallest survive, whatever
+    * the arrival and merge order. */
   final class Buf(initial: Int) {
     var skeys: Array[Long] = new Array[Long](initial)
     var ids: Array[Long] = new Array[Long](initial)
     var n: Int = 0
     var total: Long = 0L
+    private var heaped = false
     def append(s: Long, i: Long, cap: Int): Unit = {
       if (n >= skeys.length) {
         val grow = math.min(math.max(skeys.length * 2, 16), math.max(cap, n + 1))
@@ -130,6 +143,37 @@ object CappedCollect {
         ids = java.util.Arrays.copyOf(ids, grow)
       }
       skeys(n) = s; ids(n) = i; n += 1
+    }
+    def offer(s: Long, i: Long, cap: Int): Unit =
+      if (n < cap) append(s, i, cap)
+      else {
+        if (!heaped) { heapify(); heaped = true }
+        // replace the current max iff the candidate is strictly smaller
+        if (s < skeys(0) || (s == skeys(0) && i < ids(0))) {
+          skeys(0) = s; ids(0) = i; siftDown(0)
+        }
+      }
+    private def greater(a: Int, b: Int): Boolean =
+      skeys(a) > skeys(b) || (skeys(a) == skeys(b) && ids(a) > ids(b))
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = skeys(a); skeys(a) = skeys(b); skeys(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+    private def heapify(): Unit = {
+      var j = n / 2 - 1
+      while (j >= 0) { siftDown(j); j -= 1 }
+    }
+    private def siftDown(i0: Int): Unit = {
+      var j = i0
+      var cont = true
+      while (cont) {
+        val l = 2 * j + 1; val r = l + 1
+        var m = j
+        if (l < n && greater(l, m)) m = l
+        if (r < n && greater(r, m)) m = r
+        if (m == j) cont = false
+        else { swap(j, m); j = m }
+      }
     }
   }
 }

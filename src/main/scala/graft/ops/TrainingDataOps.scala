@@ -234,10 +234,17 @@ object TrainingDataOps {
       .select($"query_id", $"bk.band", $"bk.key")
     // corpus buckets are capped BEFORE the query join (one partial-agg
     // shuffle of ids): the join then fans out ≤ maxBucket members per
-    // query band instead of the bucket's true population
+    // query band instead of the bucket's true population. The cap's
+    // survivor key is a PER-BAND salted hash, not the bare id: capped
+    // survivors are the cap smallest by skey, and one id-ordered
+    // survivor set repeated in every band means a neighbor dropped
+    // from its hot bucket in one band is dropped in ALL of them at
+    // once — the banding recall bound assumes independent bands, and
+    // the salt restores that independence for the drop too (a
+    // neighbor survives if ANY band keeps it).
     val buckets = cb.groupBy($"band", $"key")
       .agg(graft.hash.HashFunctions.cappedCollect(
-        $"neighbor_id", $"neighbor_id", maxBucket).as("m"))
+        xxhash64($"band", $"neighbor_id"), $"neighbor_id", maxBucket).as("m"))
     // dedup on ids ONLY (round 1 distinct'd full vector payloads ×bands
     // through the shuffle), then re-join the vectors once per pair
     val cands = qb.join(buckets, Seq("band", "key"))

@@ -119,6 +119,47 @@ class Round5FinalSpec extends AnyFunSuite with SparkSpec {
         "threshold crossing, regardless of prior re-put row inflation")
   }
 
+  test("capped_collect survivors are the cap SMALLEST by (skey, id), " +
+    "independent of arrival/partition/merge order — the old " +
+    "append-until-full kept a run-dependent prefix, correlated across " +
+    "bands") {
+    import spark.implicits._
+    import graft.hash.HashKernels.mix64
+    val rows = (0L until 1000L).map(i => (1, mix64(i), i))
+    val expected = rows.map { case (_, s, i) => (s, i) }
+      .sorted.take(10).toSet
+    // same rows, three hostile layouts: reversed, 1 partition, 37
+    // partitions (different partial-agg merge trees)
+    for ((data, parts) <- Seq((rows, 37), (rows.reverse, 1),
+        (new scala.util.Random(7).shuffle(rows), 5))) {
+      val got = data.toDF("b", "skey", "id").repartition(parts)
+        .groupBy("b")
+        .agg(graft.hash.HashFunctions.cappedCollect(
+          col("skey"), col("id"), 10).as("m"))
+        .select(explode(col("m.members")).as("e"))
+        .select(col("e.skey"), col("e.id"))
+        .as[(Long, Long)].collect().toSet
+      assert(got === expected,
+        s"survivors must be the 10 smallest regardless of layout ($parts parts)")
+    }
+  }
+
+  test("lshTopK decorrelates capped-bucket drops across bands: 40 " +
+    "identical vectors with maxBucket=8 still serve top-20 (an " +
+    "id-ordered cap would keep the SAME 8 ids in every band and " +
+    "starve the query at 8 candidates)") {
+    import spark.implicits._
+    val v = graft.data.SyntheticVectors.vectorOf(42L, 16).toSeq
+    val corpus = (0L until 40L).map(i => (i, v)).toDF("id", "vec")
+    val queries = Seq((1000L, v)).toDF("id", "vec")
+    val res = graft.ops.TrainingDataOps
+      .lshTopK(corpus, "id", "vec", queries, 20, maxBucket = 8)
+      .select("neighbor_id").as[Long].collect()
+    assert(res.length === 20 && res.toSet.size === 20,
+      s"expected 20 distinct neighbors through 8 decorrelated band caps, " +
+        s"got ${res.length} (${res.toSet.size} distinct)")
+  }
+
   test("identity-less search queries fail LOUDLY: a null-url page with " +
     "no doc_id would otherwise derive a null qid that never equi-joins " +
     "and silently returns zero matches (the put paths already fail " +
