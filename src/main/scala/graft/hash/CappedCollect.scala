@@ -48,6 +48,10 @@ case class CappedCollect(skeyExpr: Expression, idExpr: Expression, cap: Int,
                          inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[CappedCollect.Buf] {
 
+  // plan-time, not task-time: cap = 0 used to silently collect nothing
+  // (append-until-full), and would now read an empty heap root
+  require(cap > 0, s"capped_collect cap must be positive, got $cap")
+
   override def children: Seq[Expression] = Seq(skeyExpr, idExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = CappedCollect.outType

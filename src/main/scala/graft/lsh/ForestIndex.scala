@@ -94,9 +94,15 @@ class ForestIndex(spark: SparkSession, path: String,
     (rot.cast("int") * (1 << prefixBits) +
       shiftrightunsigned(k, 64 - prefixBits).cast("int")).cast("int")
 
+  // null ids fail LOUDLY on every path (DESIGN invariant 33): a null
+  // id stored would be unaddressable by remove/identity resolution,
+  // and a null query id never equi-joins — the query would silently
+  // return zero matches. Per-row coalesce short-circuit, no extra job.
   private def normalize(sigs: DataFrame): DataFrame = {
     val idCol = if (sigs.columns.contains("id")) "id" else "qid"
-    sigs.select(col(idCol).cast("long").as("id"),
+    sigs.select(coalesce(col(idCol).cast("long"), raise_error(lit(
+        "identity-less row: null id — ForestIndex rows and queries " +
+          "are keyed by id")).cast("long")).as("id"),
       col("sig").cast("long").as("sig"))
   }
 

@@ -56,6 +56,39 @@ object Lsh {
     }: _*)
   }
 
+  /** [[simhashBandKeys]] exploded to bucket-entry rows
+    * (docId, band, key, skey) with a PER-BAND DECORRELATED chain sort
+    * key: `skey_i = rotl(sig, i·bits)`. A single global chain order
+    * repeated in every band means a near-dup pair whose signatures
+    * differ in a HIGH-order bit sorts far apart in every oversized
+    * bucket AT ONCE — the same correlated all-bands miss as an
+    * id-ordered chain (DESIGN invariants 36/37), just for a different
+    * bit position. The rotation moves any given differing bit to a
+    * different significance in each band, so the pair sorts adjacent
+    * in the bands where its difference lands low — the
+    * sorted-neighborhood rotation trick (Manku '07) applied to chain
+    * keys. Exact-duplicate signatures rotate identically and stay
+    * tied in every band. */
+  def simhashBandRows(docs: DataFrame, docId: String, sig64: Column,
+                      tables: Int, bits: Int): DataFrame = {
+    require(tables * bits <= 64,
+      s"simhashBandRows: tables*bits = ${tables * bits} exceeds the " +
+        "64-bit signature (see simhashBandKeys)")
+    val mask = (1L << bits) - 1
+    val entries = array((0 until tables).map { i =>
+      val r = (i * bits) % 64
+      val rot = if (r == 0) sig64
+        else shiftleft(sig64, r)
+          .bitwiseOR(shiftrightunsigned(sig64, 64 - r))
+      struct(lit(i + 1000).as("band"),
+        shiftright(sig64, i * bits).bitwiseAND(lit(mask)).as("key"),
+        rot.as("skey"))
+    }: _*)
+    docs.select(col(docId), explode(entries).as("bk"))
+      .select(col(docId), col("bk.band").as("band"),
+        col("bk.key").as("key"), col("bk.skey").as("skey"))
+  }
+
   /**
    * Manku et al. '07-style sorted-neighborhood SimHash duplicate edges:
    * for each of `tables` bit-rotations of the 64-bit fingerprint, sort

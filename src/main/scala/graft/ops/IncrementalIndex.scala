@@ -606,7 +606,12 @@ class IncrementalIndex(spark: SparkSession, path: String,
     // in resolveCrossBatchIds, but no audit runs on reads, and a null
     // qid never equi-joins — the query row would contribute zero
     // result rows with no signal. Per-row coalesce short-circuit: no
-    // extra job, no cost on well-formed rows.
+    // extra job, no cost on well-formed rows. When the raise fires,
+    // blocks cached by the materialization's already-finished tasks
+    // have no handle to free (the checkpointed frame is never
+    // returned) and wait for Spark's ContextCleaner — acceptable on a
+    // loud caller-bug path; the alternative, a separate validation
+    // job per search, would tax every clean call instead.
     val q = signatures(pages)
       .withColumn("doc_id", coalesce(col("doc_id"), raise_error(lit(
         "identity-less search query: null url and no doc_id — search " +

@@ -103,7 +103,12 @@ class IvfIndex(spark: SparkSession, path: String,
   /** Assign rows (id, vec) to cells with the persisted codebook
     * (fitted over this batch on the first call). */
   private def assigned(vecs: DataFrame): DataFrame = {
-    val v = vecs.select(col("id").cast("long").as("id"), col("vec"))
+    // null ids fail LOUDLY at the write (DESIGN invariant 33): a null
+    // stored id is unaddressable by remove(), invisible to last-put
+    // -wins resolution, and never equi-joins at search
+    val v = vecs.select(coalesce(col("id").cast("long"), raise_error(lit(
+        "identity-less vector: null id — IvfIndex rows are keyed by id"))
+        .cast("long")).as("id"), col("vec"))
     // first-fit check + publish under the store's writer lease
     // (double-checked): two concurrent first puts would otherwise each
     // fit a codebook and the later publish would overwrite the earlier
@@ -324,7 +329,13 @@ class IvfIndex(spark: SparkSession, path: String,
     // re-evaluate it, and a nondeterministic caller frame (sample,
     // unordered limit) re-evaluated differently would probe cells the
     // filter already excluded — silent misses
-    val q0 = queries.select(col("id").cast("long").as("query_id"),
+    // null query ids fail LOUDLY (DESIGN invariant 33): a null
+    // query_id survives the cell join but nulls out the
+    // query_id =!= neighbor_id self-filter, silently dropping every
+    // candidate for that query. Per-row coalesce, no extra job.
+    val q0 = queries.select(coalesce(col("id").cast("long"),
+        raise_error(lit("identity-less query: null id — IVF search " +
+          "results are keyed by query_id")).cast("long")).as("query_id"),
         col("vec").as("qv"))
       .localCheckpoint(true)
     // a failure below (the cell-pruning collect) must not orphan the

@@ -164,17 +164,16 @@ object TrainingDataOps {
     val emb = embeddings.filter(Measures.nonZeroNorm(col(vecCol)))
     val sigs = emb.select(col(idCol).as("__id"),
       embeddingSig(col(vecCol)).as("__sig"))
-    // the SIGNATURE is the chain sort key: beyond `maxBucket` members a
-    // bucket switches to skey-ordered chain pairing, and chaining on
-    // caller ids (the no-skey fallback) orders hot buckets randomly —
-    // at n ≫ maxBucket·2^bits EVERY bucket is oversized and a true
-    // near-dup pair more than chainWidth apart in id order is missed
-    // in ALL bands (id order is identical across bands). Hamming-near
-    // signatures sort adjacent, so near-identical vectors stay within
-    // chain reach.
-    val b = graft.lsh.Lsh.explodeBands(sigs, "__id",
-      graft.lsh.Lsh.simhashBandKeys(col("__sig"), tables, bits),
-      col("__sig"))
+    // the SIGNATURE is the chain sort key, ROTATED per band: beyond
+    // `maxBucket` members a bucket switches to skey-ordered chain
+    // pairing, and any single global order (caller ids, or one
+    // unrotated signature) repeats in every band — at
+    // n ≫ maxBucket·2^bits EVERY bucket is oversized, and a pair
+    // sorting far apart under that one order is missed in ALL bands
+    // at once. The per-band rotation (Lsh.simhashBandRows) gives each
+    // band an independent chance to sort the pair adjacent.
+    val b = graft.lsh.Lsh.simhashBandRows(sigs, "__id",
+      col("__sig"), tables, bits)
     // id-only pair dedup through the band shuffle; vectors join after
     val cands = graft.lsh.Lsh
       .candidatePairs(b, "__id", maxBucket, chainWidth)

@@ -53,19 +53,24 @@ object Measures {
 
   /** Per-ROW stand-in for the per-PAIR undefined-cosine NaN test:
     * cosineDense is NaN exactly when one side's norm — computed THIS
-    * way, same cast and same underflow — is 0 OR NaN (a NaN component
-    * from a failed encoder makes the norm NaN, and Spark's total
-    * ordering treats NaN =!= 0.0 as TRUE, so a zero-only check lets
+    * way, same cast and same underflow — is 0, NaN, or +Inf. A NaN
+    * component (failed encoder) makes the norm NaN, and Spark's total
+    * ordering treats `NaN =!= 0.0` as TRUE, so a zero-only check lets
     * such a row through to outrank every real neighbour at rank 1 and
-    * pass every `>= tau` threshold). Filtering each input side on this
-    * predicate (n + q row checks, pushed to the scan) removes precisely
-    * the pairs a `!isnan(cos)` filter would. The per-pair form is a
+    * pass every `>= tau` threshold; an Inf component (or an
+    * overflowed norm) gives Inf/Inf = NaN with the same consequence,
+    * and `isnan` alone misses it. For float-cast inputs (every vector
+    * surface in this library) a finite positive norm means a finite
+    * dot and norm product, so cosine is defined for every pair that
+    * passes both sides. Filtering each input side on this predicate
+    * (n + q row checks, pushed to the scan) removes precisely the
+    * pairs a `!isnan(cos)` filter would. The per-pair form is a
     * measured trap: Catalyst pushes the filter through the scoring
     * projection and re-evaluates the whole cosine (three aggregate()
     * folds) per pair — 2-3× on the ANN paths. */
   def nonZeroNorm(vec: Column): Column = {
     val n = l2norm(transform(vec, x => x.cast("double")))
-    !isnan(n) && n =!= 0.0
+    !isnan(n) && n > 0.0 && n < Double.PositiveInfinity
   }
 
   /** Cosine similarity of dense double arrays

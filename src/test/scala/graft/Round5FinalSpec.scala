@@ -34,8 +34,11 @@ class Round5FinalSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     def vec(i: Long) = graft.data.SyntheticVectors.vectorOf(i, 16).toSeq
     val bad = Float.NaN +: Seq.fill(15)(1.0f)
+    // Inf components are the same hole one door over: the norm is Inf
+    // (not NaN), isnan alone passes it, and Inf/Inf = NaN downstream
+    val inf = Float.PositiveInfinity +: Seq.fill(15)(1.0f)
     val corpus = ((0L until 12L).map(i => (i, vec(i))) ++
-      Seq((98L, bad))).toDF("id", "vec")
+      Seq((98L, bad), (97L, inf))).toDF("id", "vec")
     val queries = Seq((1000L, vec(3L)), (1001L, bad)).toDF("id", "vec")
     // the semantics pin: the row really does pass a zero-only filter
     assert(spark.range(1)
@@ -45,8 +48,8 @@ class Round5FinalSpec extends AnyFunSuite with SparkSpec {
     val bf = graft.ops.TrainingDataOps
       .bruteForceTopK(corpus, "id", "vec", queries, 3)
       .as[(Long, Long, Int)].collect()
-    assert(!bf.exists(_._2 == 98L),
-      s"NaN-norm vectors must not be neighbors (got ${bf.mkString(",")})")
+    assert(!bf.exists(r => r._2 == 98L || r._2 == 97L),
+      s"NaN/Inf-norm vectors must not be neighbors (got ${bf.mkString(",")})")
     assert(!bf.exists(_._1 == 1001L),
       "a NaN-norm query has no defined neighbors and must emit no rows")
     assert(bf.count(_._1 == 1000L) === 3,
@@ -160,6 +163,35 @@ class Round5FinalSpec extends AnyFunSuite with SparkSpec {
         s"got ${res.length} (${res.toSet.size} distinct)")
   }
 
+  test("per-band ROTATED chain keys: a near-dup pair whose signatures " +
+    "differ in a HIGH bit is still chained adjacent in SOME band (one " +
+    "global sig order would sort it far apart in every oversized " +
+    "bucket at once)") {
+    import spark.implicits._
+    import graft.hash.HashKernels.mix64
+    val s = mix64(0xfeedL)
+    // planted pair: identical but for bit 62 — under a single
+    // unrotated sig sort ~1/4 of any bucket's members sort between
+    // them; rotl(sig, 8) in band 1 moves the difference to bit 6
+    val pair = Seq((7L, s), (93L, s ^ (1L << 62)))
+    // 300 fillers, each sharing exactly ONE band key byte with s
+    // (band j = i % 8) and random elsewhere: every bucket holding the
+    // pair has ~37 ≫ maxBucket=8 members, so all-pairs never runs
+    val fillers = (100L until 400L).map { i =>
+      val j = (i % 8).toInt
+      val m = 0xffL << (8 * j)
+      (i, (mix64(i * 31L) & ~m) | (s & m))
+    }
+    val rows = graft.lsh.Lsh.simhashBandRows(
+      (pair ++ fillers).toDF("id", "sig"), "id", col("sig"), 8, 8)
+    val pairs = graft.lsh.Lsh
+      .candidatePairs(rows, "id", maxBucket = 8, chainWidth = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 93L)),
+      "the rotated chain key must sort the high-bit pair adjacent in " +
+        "at least one band")
+  }
+
   test("identity-less search queries fail LOUDLY: a null-url page with " +
     "no doc_id would otherwise derive a null qid that never equi-joins " +
     "and silently returns zero matches (the put paths already fail " +
@@ -181,5 +213,48 @@ class Round5FinalSpec extends AnyFunSuite with SparkSpec {
       .mkString("\n")
     assert(msgs.contains("identity-less"),
       s"expected the loud identity-less raise, got:\n$msgs")
+  }
+
+  private def causeChain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+
+  test("null ids fail LOUDLY on the vector indexes too (invariant-33 " +
+    "parity with IncrementalIndex): IvfIndex raises on a null put id " +
+    "and a null query id; ForestIndex likewise") {
+    import spark.implicits._
+    def vecs(ids: Seq[java.lang.Long]) = ids.map(i =>
+      (i, graft.data.SyntheticVectors.vectorOf(
+        Option(i).map(_.toLong).getOrElse(0L), 16))).toDF("id", "vec")
+    val ivf = new graft.ops.IvfIndex(spark, s"${freshDir()}/ivf",
+      nCells = 2, nProbe = 2)
+    val ePut = intercept[Exception] {
+      ivf.put(vecs(Seq(1L, null)))
+    }
+    assert(causeChain(ePut).contains("identity-less"))
+    ivf.put(vecs(Seq(1L, 2L, 3L, 4L)))
+    val eQ = intercept[Exception] {
+      ivf.search(vecs(Seq(null)), 2).count()
+    }
+    assert(causeChain(eQ).contains("identity-less"))
+    import graft.hash.HashKernels.mix64
+    val f = new graft.lsh.ForestIndex(spark, s"${freshDir()}/forest",
+      prefixBits = 4)
+    val eF = intercept[Exception] {
+      f.put(Seq((null.asInstanceOf[java.lang.Long], mix64(5L)))
+        .toDF("id", "sig"))
+    }
+    assert(causeChain(eF).contains("identity-less"))
+  }
+
+  test("capped_collect rejects a non-positive cap at plan time " +
+    "(append-until-full silently collected nothing; the heap would " +
+    "read an empty root)") {
+    val e = intercept[IllegalArgumentException] {
+      graft.hash.HashFunctions.cappedCollect(
+        org.apache.spark.sql.functions.lit(1L),
+        org.apache.spark.sql.functions.lit(1L), 0)
+    }
+    assert(e.getMessage.contains("positive"))
   }
 }
