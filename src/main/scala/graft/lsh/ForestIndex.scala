@@ -161,7 +161,11 @@ class ForestIndex(spark: SparkSession, path: String,
   def remove(ids: DataFrame): Unit = {
     requireServingLayout()
     ensureLayout(write = true)
-    store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
+    // a null (or cast-to-null) removal id matches nothing in the
+    // anti-join — the remove would silently no-op (invariant 33)
+    store.rewrite(_.join(ids.select(coalesce(col("id").cast("long"),
+        raise_error(lit("identity-less remove: null id")).cast("long"))
+        .as("id")),
       Seq("id"), "left_anti"))
   }
 

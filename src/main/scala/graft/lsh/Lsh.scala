@@ -42,18 +42,28 @@ object Lsh {
     * NOTE: fixed-width keys saturate as the corpus outgrows 2^bits
     * buckets (random collisions grow O(n²/2^bits)); prefer
     * [[simhashNeighborPairs]] beyond ~10^5 docs. */
-  def simhashBandKeys(sig64: Column, tables: Int, bits: Int): Column = {
+  def simhashBandKeys(sig64: Column, tables: Int, bits: Int): Column =
+    array(bandWindows(sig64, tables, bits).map { case (b, k) =>
+      struct(b.as("band"), k.as("key"))
+    }: _*)
+
+  /** The one definition of the SimHash band/key space — both the
+    * keys-only array ([[simhashBandKeys]]) and the rotated-skey rows
+    * ([[simhashBandRows]]) build on it, so the +1000 band-id offset
+    * and the key bit-window can never silently diverge between the
+    * ANN and near-dup surfaces. Unrolled (tables is small and
+    * static) — keeps shift amounts literal. */
+  private def bandWindows(sig64: Column, tables: Int,
+                          bits: Int): Seq[(Column, Column)] = {
     require(tables * bits <= 64,
-      s"simhashBandKeys: tables*bits = ${tables * bits} exceeds the 64-bit " +
+      s"simhash bands: tables*bits = ${tables * bits} exceeds the 64-bit " +
         "signature — Java shift counts mask mod 64, so the overflow bands " +
         "would silently ALIAS low-bit windows (correlated bands, recall " +
         "bound void) instead of failing")
     val mask = (1L << bits) - 1
-    // unrolled (tables is small and static) — keeps shift amounts literal
-    array((0 until tables).map { i =>
-      struct(lit(i + 1000).as("band"),
-        shiftright(sig64, i * bits).bitwiseAND(lit(mask)).as("key"))
-    }: _*)
+    (0 until tables).map { i =>
+      (lit(i + 1000), shiftright(sig64, i * bits).bitwiseAND(lit(mask)))
+    }
   }
 
   /** [[simhashBandKeys]] exploded to bucket-entry rows
@@ -71,19 +81,15 @@ object Lsh {
     * tied in every band. */
   def simhashBandRows(docs: DataFrame, docId: String, sig64: Column,
                       tables: Int, bits: Int): DataFrame = {
-    require(tables * bits <= 64,
-      s"simhashBandRows: tables*bits = ${tables * bits} exceeds the " +
-        "64-bit signature (see simhashBandKeys)")
-    val mask = (1L << bits) - 1
-    val entries = array((0 until tables).map { i =>
-      val r = (i * bits) % 64
-      val rot = if (r == 0) sig64
-        else shiftleft(sig64, r)
-          .bitwiseOR(shiftrightunsigned(sig64, 64 - r))
-      struct(lit(i + 1000).as("band"),
-        shiftright(sig64, i * bits).bitwiseAND(lit(mask)).as("key"),
-        rot.as("skey"))
-    }: _*)
+    val entries = array(
+      bandWindows(sig64, tables, bits).zipWithIndex.map {
+        case ((b, k), i) =>
+          val r = (i * bits) % 64
+          val rot = if (r == 0) sig64
+            else shiftleft(sig64, r)
+              .bitwiseOR(shiftrightunsigned(sig64, 64 - r))
+          struct(b.as("band"), k.as("key"), rot.as("skey"))
+      }: _*)
     docs.select(col(docId), explode(entries).as("bk"))
       .select(col(docId), col("bk.band").as("band"),
         col("bk.key").as("key"), col("bk.skey").as("skey"))

@@ -480,8 +480,13 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * caller's frame being nondeterministic. */
   def remove(urls: DataFrame): Unit = {
     ensureClean()
+    // a null removal url matches nothing in the semi/anti joins — the
+    // remove would silently no-op (invariant 33); raise at marker
+    // publication, before any store is touched
     Fs.publishByRename(removePendingPath, hconf)(
-      urls.select(col("url")).write.mode("overwrite").parquet(_))
+      urls.select(coalesce(col("url"), raise_error(lit(
+          "identity-less remove: null url")).cast("string")).as("url"))
+        .write.mode("overwrite").parquet(_))
     completeRemove()
   }
 

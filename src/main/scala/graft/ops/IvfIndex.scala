@@ -211,10 +211,14 @@ class IvfIndex(spark: SparkSession, path: String,
     store.compact(upTo)(graft.ckpt.BatchStore.latestBatchRows(_, "id"))
   }
 
-  /** Remove by id: anti-join rewrite, atomic swap. */
+  /** Remove by id: anti-join rewrite, atomic swap. A null (or
+    * cast-to-null) removal id matches nothing in the anti-join and
+    * would silently no-op — it raises instead (invariant 33). */
   def remove(ids: DataFrame): Unit = {
     ensureRefitComplete()
-    store.rewrite(_.join(ids.select(col("id").cast("long").as("id")),
+    store.rewrite(_.join(ids.select(coalesce(col("id").cast("long"),
+        raise_error(lit("identity-less remove: null id")).cast("long"))
+        .as("id")),
       Seq("id"), "left_anti"))
   }
 

@@ -201,8 +201,11 @@ object TrainingDataOps {
   }
 
   /** @param maxBucket corpus members per (band, key) bucket beyond
-    *   which candidates are dropped (sorted by id, capped inside the
-    *   aggregation buffer — [[graft.hash.CappedCollect]]): a RAW band
+    *   which candidates are dropped (survivors = the cap smallest by
+    *   the PER-BAND salted key `xxhash64(band, id)`, selected inside
+    *   the aggregation buffer — [[graft.hash.CappedCollect]], DESIGN
+    *   invariant 37 — so each band drops an independent subset and a
+    *   neighbor survives if any band keeps it): a RAW band
     *   equi-join is Θ(q·n/2^bits) on unrelated data from random key
     *   collisions alone, and a hot bucket (mass-duplicated embeddings)
     *   cross-joins every query against all of it — the same blowup

@@ -245,6 +245,18 @@ class Round5FinalSpec extends AnyFunSuite with SparkSpec {
         .toDF("id", "sig"))
     }
     assert(causeChain(eF).contains("identity-less"))
+    // the remove surfaces too: a null id/url matches nothing in the
+    // anti-join and would silently no-op
+    val eR = intercept[Exception] {
+      ivf.remove(Seq(null.asInstanceOf[java.lang.Long]).toDF("id"))
+    }
+    assert(causeChain(eR).contains("identity-less"))
+    val inc = new graft.ops.IncrementalIndex(spark, s"${freshDir()}/inc")
+    inc.put(Seq(("u1", doc("a"))).toDF("url", "text"))
+    val eU = intercept[Exception] {
+      inc.remove(Seq(null.asInstanceOf[String]).toDF("url"))
+    }
+    assert(causeChain(eU).contains("identity-less"))
   }
 
   test("capped_collect rejects a non-positive cap at plan time " +
