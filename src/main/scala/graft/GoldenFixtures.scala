@@ -78,36 +78,36 @@ object GoldenFixtures {
   // (docs alternate between the two planted topic blocks — the fit
   // separates them to ~0.999)
   val lda: Seq[(Long, Double, Double)] = Seq(
-    (0L, 3.84E-4, 0.999616),
-    (1L, 0.999387, 6.13E-4),
-    (2L, 3.35E-4, 0.999665),
-    (3L, 0.999347, 6.53E-4),
-    (4L, 4.0E-4, 0.9996),
-    (5L, 0.999605, 3.95E-4),
-    (6L, 4.17E-4, 0.999583),
-    (7L, 0.999425, 5.75E-4),
-    (8L, 3.49E-4, 0.999651),
-    (9L, 0.999221, 7.79E-4),
-    (10L, 4.26E-4, 0.999574),
+    (0L, 3.76E-4, 0.999624),
+    (1L, 0.999392, 6.08E-4),
+    (2L, 3.21E-4, 0.999679),
+    (3L, 0.999366, 6.34E-4),
+    (4L, 3.9E-4, 0.99961),
+    (5L, 0.999579, 4.21E-4),
+    (6L, 4.08E-4, 0.999592),
+    (7L, 0.999414, 5.86E-4),
+    (8L, 3.38E-4, 0.999662),
+    (9L, 0.999238, 7.62E-4),
+    (10L, 4.13E-4, 0.999587),
     (11L, 0.99947, 5.3E-4),
-    (12L, 3.5E-4, 0.99965),
-    (13L, 0.999481, 5.19E-4),
-    (14L, 3.81E-4, 0.999619),
-    (15L, 0.999446, 5.54E-4),
-    (16L, 3.59E-4, 0.999641),
-    (17L, 0.999371, 6.29E-4),
-    (18L, 3.95E-4, 0.999605),
-    (19L, 0.999475, 5.25E-4),
-    (20L, 3.75E-4, 0.999625),
-    (21L, 0.9994, 6.0E-4),
-    (22L, 3.91E-4, 0.999609),
-    (23L, 0.999064, 9.36E-4),
-    (24L, 3.31E-4, 0.999669),
-    (25L, 0.999357, 6.43E-4),
-    (26L, 3.87E-4, 0.999613),
-    (27L, 0.999406, 5.94E-4),
-    (28L, 3.23E-4, 0.999677),
-    (29L, 0.999145, 8.55E-4))
+    (12L, 3.35E-4, 0.999665),
+    (13L, 0.999472, 5.28E-4),
+    (14L, 3.68E-4, 0.999632),
+    (15L, 0.999434, 5.66E-4),
+    (16L, 3.46E-4, 0.999654),
+    (17L, 0.999364, 6.36E-4),
+    (18L, 3.78E-4, 0.999622),
+    (19L, 0.999472, 5.28E-4),
+    (20L, 3.65E-4, 0.999635),
+    (21L, 0.999409, 5.91E-4),
+    (22L, 3.76E-4, 0.999624),
+    (23L, 0.999093, 9.07E-4),
+    (24L, 3.19E-4, 0.999681),
+    (25L, 0.999368, 6.32E-4),
+    (26L, 3.76E-4, 0.999624),
+    (27L, 0.999396, 6.04E-4),
+    (28L, 3.1E-4, 0.99969),
+    (29L, 0.999162, 8.38E-4))
 
   private def longDoubles2Sql(rows: Seq[(Long, Double, Double)],
                               c1: String, c2: String): String =

@@ -29,6 +29,12 @@ object ConnectedComponents {
 
   /**
    * @param edges DataFrame with two long columns `a`, `b` (undirected).
+   *   Scanned 2-3 times before the loop's own checkpoint (the count
+   *   gate, then both directions of the symmetrisation union) — pass a
+   *   MATERIALISED frame: an unmaterialised edge list carrying an
+   *   expensive upstream plan re-executes it per scan (DedupPipeline
+   *   stages/localCheckpoints its edge list before calling in for
+   *   exactly this reason — a cut it owns anyway for resume lineage).
    * @return (id, comp) for every node appearing in edges;
    *         comp = min reachable id.
    */

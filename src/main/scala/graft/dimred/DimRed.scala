@@ -55,7 +55,14 @@ object DimRed {
 
   /** Dense d×d Gram matrix G = Σ_doc a aᵀ plus the term-sum vector and
     * doc count, in ONE corpus pass (upper triangle aggregated, mirrored
-    * locally). Term ids must be dense 0..d−1 (vocabulary-fitted). */
+    * locally). Term ids must be dense 0..d−1 (vocabulary-fitted) and
+    * DISTINCT within each doc's entries (every vectorizer in this
+    * library emits one entry per term): a duplicated term leaves the
+    * Gram correct — all m² weight pairs of an m-duplicated term belong
+    * in G(t,t) — but the diagonal-cell term-sum trick below counts each
+    * weight m times, silently inflating the mean vector PCA subtracts.
+    * Merge duplicates upstream rather than paying a per-fit audit pass
+    * here. */
   def gramAndMeans(docs: DataFrame, docIdCol: String, entriesCol: String,
                    d: Int): (Array[Array[Double]], Array[Double], Long) = {
     val rows = docs.select(col(docIdCol).as("__doc"), col(entriesCol).as("es"))
@@ -94,8 +101,8 @@ object DimRed {
     * the zero vector — the reference's Componentsᵀ·m yields a zero
     * column for such docs (`dimreduction.go:50-57`), so they must stay
     * in the output: explode_outer keeps empty-entry docs, the LEFT join
-    * keeps all-OOV entries (null vec → null contrib, which collect_list
-    * skips, leaving the aggregate's zero-vector init value). */
+    * keeps all-OOV entries (null vec → null contrib, whose slots `sum`
+    * skips; an all-null group's null sums coalesce to the zero vector). */
   def project(docs: DataFrame, docIdCol: String, entriesCol: String,
               components: DataFrame, k: Int): DataFrame = {
     val ex = exploded(docs, docIdCol, entriesCol)
@@ -105,11 +112,27 @@ object DimRed {
       .select(col("__doc"),
         transform(col("vec"), v => v * col("w")).as("contrib"))
     joined.groupBy(col("__doc"))
-      .agg(aggregate(collect_list(col("contrib")),
-        transform(sequence(lit(1), lit(k)), _ => lit(0.0)),
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("proj"))
+      .agg(sumSlots("contrib", k).as("proj"))
       .select(col("__doc").as(docIdCol), col("proj"))
   }
+
+  /** Element-wise sum of an array[k]-of-double column as k independent
+    * `sum(element_at(…))` aggregates reassembled into one array. The
+    * former `aggregate(collect_list(…), zero, zip_with(+))` buffered the
+    * COMPLETE list of per-row k-vectors per group before folding —
+    * O(groupRows·k) doubles in a single aggregation buffer, which at the
+    * unbounded group sizes these callers see (a frequent term appears in
+    * nearly every document) is an executor OOM, not a spill. Per-slot
+    * sums keep O(k) state per group, combine map-side, and run in
+    * whole-stage-codegen HashAggregate instead of ObjectHashAggregate.
+    * Partials merge in the same order collect_list concatenated them,
+    * so the Double association — and the fitted goldens — are unmoved.
+    * Null rows (OOV left-join misses) are skipped per slot; an all-null
+    * group coalesces to the zero vector, both exactly as the fold
+    * treated them. */
+  private[dimred] def sumSlots(contribCol: String, k: Int): Column =
+    array((0 until k).map(i =>
+      coalesce(sum(element_at(col(contribCol), i + 1)), lit(0.0))): _*)
 
   /** Local k-truncation helper: top-k eigenpairs → (term-indexed rows of
     * U_k as a local array, singular values). */

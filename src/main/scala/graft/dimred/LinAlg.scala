@@ -22,7 +22,7 @@ object LinAlg {
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
     var off = offDiag(a)
-    val scale = math.max(1e-300, frobenius(a))
+    val scale = math.max(1e-300, entrywiseL1(a))
     while (sweep < maxSweeps && off > tol * scale) {
       var p = 0
       while (p < d - 1) {
@@ -84,7 +84,14 @@ object LinAlg {
     s
   }
 
-  private def frobenius(a: Array[Array[Double]]): Double = {
+  /** Entrywise L1 norm Σ|x| — the convergence scale for the sweep test
+    * above. Deliberately NOT the Frobenius norm (the former name): both
+    * sides of `off > tol·scale` are L1-style magnitudes, so the
+    * criterion is self-consistent, but anyone tuning `tol` against the
+    * Golub & Van Loan sqrt-sum-of-squares definition would be off by up
+    * to a factor of d on flat matrices — the name now says what it
+    * computes. */
+  private def entrywiseL1(a: Array[Array[Double]]): Double = {
     var s = 0.0
     for (r <- a; x <- r) s += math.abs(x)
     s

@@ -47,13 +47,13 @@ object RandomIndexing {
       * Random Indexing, as the reference documents. */
     def partialFit(batch: DataFrame, docIdCol: String, entriesCol: String): RiModel = {
       val contribs = termContribs(batch, docIdCol, entriesCol, cfg)
-      val merged = components.select(col("term"), col("vec"))
-        .union(contribs)
+      // per-slot sums (DimRed.sumSlots): term-keyed groups are unbounded
+      // (frequent terms ~ every doc), so a collect_list buffer is
+      // O(docFreq·k) in one aggregation buffer
+      val merged = components.select(col("term"), col("vec").as("contrib"))
+        .union(contribs.select(col("term"), col("vec").as("contrib")))
         .groupBy("term")
-        .agg(aggregate(collect_list(col("vec")),
-          org.apache.spark.sql.functions.transform(
-            sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
-          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
+        .agg(DimRed.sumSlots("contrib", cfg.k).as("vec"))
       // localCheckpoint per accretion: the streaming PartialFit
       // contract calls this once per micro-batch, and an untruncated
       // chain re-analyzes and recomputes a batch-deep union on every
@@ -73,11 +73,10 @@ object RandomIndexing {
     docs.select(col(docIdCol).as("__doc"), explode(col(entriesCol)).as("e"))
       .select(col("e.term").as("term"),
         HashFunctions.elementalScaled(col("__doc"),
-          col("e.weight").cast("double"), cfg.k, cfg.density).as("vec"))
+          col("e.weight").cast("double"), cfg.k, cfg.density)
+          .as("contrib"))
       .groupBy("term")
-      .agg(aggregate(collect_list(col("vec")),
-        transform(sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
+      .agg(DimRed.sumSlots("contrib", cfg.k).as("vec"))
 
   def fit(docs: DataFrame, docIdCol: String, entriesCol: String,
           cfg: RiConfig = RiConfig()): RiModel = {
@@ -111,11 +110,9 @@ object RandomIndexing {
         .join(docVecs, docIdCol)
         .select(col("e.term").as("term"),
           transform(col("dvec"),
-            v => v * col("e.weight").cast("double")).as("vec"))
+            v => v * col("e.weight").cast("double")).as("contrib"))
         .groupBy("term")
-        .agg(aggregate(collect_list(col("vec")),
-          transform(sequence(lit(1), lit(cfg.k)), _ => lit(0.0)),
-          (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("vec"))
+        .agg(DimRed.sumSlots("contrib", cfg.k).as("vec"))
       cycle += 1
     }
     RiModel(comps.persist(StorageLevel.MEMORY_AND_DISK), cfg)

@@ -46,17 +46,19 @@ object TruncatedSVD {
     val ex = docs.select(col(docIdCol).as("__doc"), explode(col(entriesCol)).as("e"))
       .select(col("__doc"), col("e.term").as("term"),
         col("e.weight").cast("double").as("w"))
+    // per-slot sums, NOT collect_list+fold: the group key is the TERM,
+    // whose group size is unbounded (a frequent term appears in nearly
+    // every doc), so a buffered list of l-vectors is O(docFreq·l) in one
+    // aggregation buffer — see DimRed.sumSlots
     val y = ex.select(col("term"),
         graft.hash.HashFunctions.gaussianSketch(col("__doc"), col("w"), l)
           .as("contrib"))
       .groupBy("term")
-      .agg(aggregate(collect_list(col("contrib")),
-        transform(sequence(lit(1), lit(l)), _ => lit(0.0)),
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)).as("y"))
+      .agg(DimRed.sumSlots("contrib", l).as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // local: YᵀY (l×l) → Q = Y·W where W = E·Λ^{-1/2}·Eᵀ
-    val w = invSqrt(gramSmall(y, "y", l))
+    val w = invSqrt(gramSmall(y, "y", l)._1)
     val q = mapVecs(y, "term", "y", w).toDF("term", "vec")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -65,9 +67,14 @@ object TruncatedSVD {
       q, l).withColumnRenamed("proj", "z")
 
     // local: ZᵀZ = (QᵀA)(QᵀA)ᵀ (l×l) → Ū, singular values
-    val ztz = gramSmall(z, "z", l)
+    val (ztz, nDocs) = gramSmall(z, "z", l)
     val (vals, vecs) = LinAlg.symEigen(ztz)
-    val kk = math.min(k, l)
+    // clamp by the doc count too (same degenerate case fit() clamps):
+    // rank(ZᵀZ) ≤ n, so at k > n the trailing eigenpairs are numerical
+    // noise — arbitrary rotations of the null space that transform()
+    // would happily project onto. The count rides the z-gram pass, no
+    // extra job.
+    val kk = math.min(math.min(k.toLong, l.toLong), nDocs).toInt
     val sv = vals.take(kk).map(v => math.sqrt(math.max(0.0, v)))
     // components U_k = Q·Ū_k — a (term, vec[k]) table end-to-end
     val comps = mapVecs(q, "term", "vec", vecs.take(kk)).toDF("term", "vec")
@@ -94,13 +101,16 @@ object TruncatedSVD {
     * executor parallelism on the fit's heaviest stage. A tree merge
     * would bound the driver cost too, but it re-associates the sums and
     * moves the fitted goldens by ULPs.) */
-  private def gramSmall(df: DataFrame, vecCol: String, l: Int): Array[Array[Double]] = {
+  private def gramSmall(df: DataFrame, vecCol: String,
+                        l: Int): (Array[Array[Double]], Long) = {
     val spark = df.sparkSession
     import spark.implicits._
     val parts = df.select(col(vecCol)).as[Seq[Double]]
       .rdd.mapPartitionsWithIndex { (pid, it) =>
         val m = new Array[Double](l * l)
+        var rows = 0L
         it.foreach { v =>
+          rows += 1L
           var i = 0
           while (i < l) {
             val vi = v(i)
@@ -109,19 +119,21 @@ object TruncatedSVD {
             i += 1
           }
         }
-        Iterator((pid, m))
+        Iterator((pid, m, rows))
       }
     val cached = parts.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flat = new Array[Double](l * l)
+    var rowCount = 0L
     try {
       cached.count() // the one PARALLEL job: every partial materialises
-      cached.toLocalIterator.foreach { case (_, m) =>
+      cached.toLocalIterator.foreach { case (_, m, rows) =>
+        rowCount += rows
         var i = 0
         while (i < flat.length) { flat(i) += m(i); i += 1 }
       }
     } finally { cached.unpersist(blocking = false); () }
-    Array.tabulate(l, l)((i, j) => flat(i * l + j))
+    (Array.tabulate(l, l)((i, j) => flat(i * l + j)), rowCount)
   }
 
   /** Row-wise small-matrix multiply: (id, vec) → (id, M·vec) with M a
@@ -204,6 +216,13 @@ object PCA {
           d: Int, k: Int): DimRedModel = {
     val spark = docs.sparkSession
     val (g, sums, n) = DimRed.gramAndMeans(docs, docIdCol, entriesCol, d)
+    // the (n−1) Bessel divisor needs ≥ 2 observations: at n=1 every
+    // covariance cell is x/0 → ±Inf/NaN, the Jacobi sweep's tolerance
+    // test is vacuously false on NaN, and fit returns an all-NaN model
+    // with no signal (n=0 likewise via 0/0)
+    require(n >= 2,
+      s"PCA.fit needs at least 2 documents (got $n): sample covariance " +
+        "is undefined and the model would silently be all-NaN")
     // covariance = (G − n·μμᵀ)/(n−1)
     val cov = Array.tabulate(d, d) { (i, j) =>
       (g(i)(j) - sums(i) * sums(j) / n) / (n - 1.0)

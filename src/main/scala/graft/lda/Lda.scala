@@ -77,17 +77,7 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
   extends Serializable {
 
   /** K×W topic-over-word probability rows (`lda.go:normalisePhi`). */
-  def topicsLocal: Array[Array[Double]] = {
-    val sums = new Array[Double](cfg.k)
-    var w = 0
-    while (w < cfg.vocab) {
-      var k = 0
-      while (k < cfg.k) { sums(k) += nPhi(w * cfg.k + k); k += 1 }
-      w += 1
-    }
-    Array.tabulate(cfg.k)(k =>
-      Array.tabulate(cfg.vocab)(w => nPhi(w * cfg.k + k) / sums(k)))
-  }
+  def topicsLocal: Array[Array[Double]] = Lda.normalisePhi(nPhi, cfg.k, cfg.vocab)
 
   /** (topic, term, prob) DataFrame face of [[topicsLocal]]. */
   def topics(spark: SparkSession): DataFrame = {
@@ -112,7 +102,17 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
           val theta = d.theta.clone()
           var pass = 1
           while (pass <= m.cfg.transformationPasses) {
-            Lda.burnInDoc(d, theta, m.nPhi, m.nZ, m.cfg, 1.0 + pass)
+            // the theta learning-rate clock CONTINUES from the post-fit
+            // value, it does not restart: the reference's
+            // unNormalisedTransform (`lda.go:420-431`) burns in with the
+            // live rhoThetaT (= 1 + iterations executed — init at
+            // `lda.go:183`, ++ per fit pass at `lda.go:502`) plus the
+            // pass counter (`lda.go:224-231`). Restarting at 1 re-runs
+            // the burn-in with the LARGE early-fit steps (defaults
+            // s=1, tau=10: rho(2) ≈ 7× rho(102)) — posteriors that
+            // drift from the reference's for any fitted model.
+            Lda.burnInDoc(d, theta, m.nPhi, m.nZ, m.cfg,
+              1.0 + m.itersRun + pass)
             pass += 1
           }
           var s = 0.0
@@ -176,6 +176,10 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
     val spark = docs.sparkSession
     import spark.implicits._
     val phi = topicsLocal
+    // destroyed after the collect below — a W×K broadcast left to the
+    // ContextCleaner accretes ~200 MB per call at production shape in a
+    // perplexity-per-epoch monitoring loop (the same leak class
+    // inFitPerplexity and the fit loop destroy eagerly)
     val bc = spark.sparkContext.broadcast(phi)
     val theta = transform(docs, docIdCol, entriesCol)
     val ex = docs.select(col(docIdCol).as("__doc"), explode(col(entriesCol)).as("e"))
@@ -185,21 +189,23 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
     // pid-sorted partials (not reduce): arrival-order Double merges
     // made the reported perplexity run-to-run nondeterministic at ULP
     // level — inconsistent with inFitPerplexity, which sorts by pid
-    val parts = ex.select(col("term"), col("cnt"), col("theta"))
-      .as[(Long, Double, Seq[Double])]
-      .rdd.mapPartitionsWithIndex { (pid, it) =>
-        val p = bc.value
-        var lp = 0.0
-        var wc = 0.0
-        it.foreach { case (term, cnt, th) =>
-          var dot = 0.0
-          var k = 0
-          while (k < p.length) { dot += p(k)(term.toInt) * th(k); k += 1 }
-          lp += (math.log(dot) / math.log(2.0)) * cnt
-          wc += cnt
-        }
-        Iterator((pid, lp, wc))
-      }.collect().sortBy(_._1)
+    val parts =
+      try ex.select(col("term"), col("cnt"), col("theta"))
+        .as[(Long, Double, Seq[Double])]
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          val p = bc.value
+          var lp = 0.0
+          var wc = 0.0
+          it.foreach { case (term, cnt, th) =>
+            var dot = 0.0
+            var k = 0
+            while (k < p.length) { dot += p(k)(term.toInt) * th(k); k += 1 }
+            lp += (math.log(dot) / math.log(2.0)) * cnt
+            wc += cnt
+          }
+          Iterator((pid, lp, wc))
+        }.collect().sortBy(_._1)
+      finally bc.destroy()
     val logProb = parts.foldLeft(0.0)(_ + _._2)
     val words = parts.foldLeft(0.0)(_ + _._3)
     math.pow(2.0, -logProb / words)
@@ -252,6 +258,25 @@ object Lda {
 
   private[lda] def rho(s: Double, tau: Double, kappa: Double, t: Double): Double =
     s / math.pow(tau + t, kappa)
+
+  /** nPhi → K×W row-normalised topic-word probabilities — the ONE
+    * definition (`lda.go:normalisePhi`); both the model face
+    * ([[LdaModel.topicsLocal]]) and the in-fit perplexity share it so a
+    * normalisation fix cannot reach one and miss the other. Column sums
+    * accumulate w-ascending per topic — the same IEEE-754 order both
+    * former copies used, so fitted goldens are unmoved. */
+  private[lda] def normalisePhi(nPhi: Array[Double], k: Int,
+                                vocab: Int): Array[Array[Double]] = {
+    val sums = new Array[Double](k)
+    var w = 0
+    while (w < vocab) {
+      var t = 0
+      while (t < k) { sums(t) += nPhi(w * k + t); t += 1 }
+      w += 1
+    }
+    Array.tabulate(k)(t =>
+      Array.tabulate(vocab)(w => nPhi(w * k + t) / sums(t)))
+  }
 
   /** One burn-in sweep over a doc (Eqn 5 + 9; `lda.go:218-261`). */
   private[lda] def burnInDoc(d: DocState, theta: Array[Double],
@@ -545,13 +570,7 @@ object Lda {
       cfg: LdaConfig, wordsInCorpus: Double): Double = {
     val spark = state.sparkSession
     import spark.implicits._
-    val K = cfg.k
-    val W = cfg.vocab
-    val sums = new Array[Double](K)
-    var i = 0
-    while (i < W * K) { sums(i % K) += nPhi(i); i += 1 }
-    val phiProb = Array.tabulate(K)(k =>
-      Array.tabulate(W)(w => nPhi(w * K + k) / sums(k)))
+    val phiProb = normalisePhi(nPhi, cfg.k, cfg.vocab)
     val bc = spark.sparkContext.broadcast(phiProb)
     val parts = state.mapPartitions { it =>
       val p = bc.value
