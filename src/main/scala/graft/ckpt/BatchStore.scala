@@ -84,11 +84,16 @@ final class BatchStore(spark: SparkSession, root: String,
     * batch set is unchanged, the manifest is still incomplete (a
     * completed racing writer re-adds its own entry, making the keySet
     * whole), and no mutation has touched the store root since the
-    * rebuild began (a staging write or swap bumps the root mtime — the
-    * guard against a writer that swapped mid-rebuild and CRASHED
-    * before its manifest re-add, whose batch our recount may have read
-    * pre-swap). Otherwise the persist is dropped and the count served
-    * unpersisted; the next uncontended call rebuilds fresh. */
+    * rebuild began (a staging write bumps the root mtime by creating
+    * children in it; a whole-store swap does NOT inherit one — rename
+    * preserves the staging dir's own older mtime — so swapInto stamps
+    * the commit time onto the swapped-in dir explicitly; without that
+    * stamp a rewrite that committed mid-rebuild read as "untouched"
+    * and this gate persisted pre-rewrite counts as complete). The
+    * comparison is strict (< t0, not <=) so a same-millisecond
+    * mutation cannot slip under coarse mtime granularity. Otherwise
+    * the persist is dropped and the count served unpersisted; the
+    * next uncontended call rebuilds fresh. */
   def rowCount(): Long = {
     // seed every listed batch id: an EMPTY batch dir (a rows-less
     // streaming trigger) produces no groupBy row, and a manifest
@@ -110,7 +115,7 @@ final class BatchStore(spark: SparkSession, root: String,
         val c = rebuild(ids)
         try withLease {
           if (batchIds().toSet == ids && readRowCounts().keySet != ids &&
-              Fs.modifiedMs(root, hconf).forall(_ <= t0))
+              Fs.modifiedMs(root, hconf).forall(_ < t0))
             writeRowCounts(c)
         } catch {
           case _: java.io.IOException => () // writer busy: serve unpersisted

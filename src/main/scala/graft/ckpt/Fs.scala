@@ -91,6 +91,15 @@ object Fs {
       throw new java.io.IOException(s"swap rename failed: $s -> $d")
     }
     if (fs.exists(old)) { fs.delete(old, true); () }
+    // rename preserves the renamed dir's OWN mtime, so after a
+    // whole-dir swap `dst` carries the staging dir's (older) write
+    // time — mtime-based staleness guards (BatchStore.rowCount's
+    // persist gate) would read a committed swap as "nothing mutated".
+    // Stamp the commit time explicitly (best-effort: an FS without
+    // setTimes keeps the pre-fix behavior, where only guards on the
+    // PARENT dir's mtime see the swap).
+    try { fs.setTimes(d, System.currentTimeMillis(), -1) }
+    catch { case scala.util.control.NonFatal(_) => () } // commit already succeeded
   }
 
   /** Complete a [[swapInto]] interrupted mid-commit — called by stores
@@ -125,12 +134,18 @@ object Fs {
         if (complete) {
           if (!fs.rename(s, d) && !fs.exists(d))
             throw new java.io.IOException(s"swap recovery rename failed: $s -> $d")
+          // same commit-time stamp as swapInto: the promoted dir's own
+          // mtime predates the crash it recovers from
+          try { fs.setTimes(d, System.currentTimeMillis(), -1) }
+          catch { case scala.util.control.NonFatal(_) => () }
         } else {
           fs.delete(s, true); ()
         }
       } else if (fs.exists(old)) {
         if (!fs.rename(old, d) && !fs.exists(d))
           throw new java.io.IOException(s"swap recovery restore failed: $old -> $d")
+        try { fs.setTimes(d, System.currentTimeMillis(), -1) }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     if (fs.exists(d) && fs.exists(old)) { fs.delete(old, true); () }

@@ -87,10 +87,15 @@ final case class FittedTfIdf(model: graft.tfidf.TfIdf.TfIdfModel,
 
 /** Vocabulary encoder: maps string-term entries to dense long term ids
   * (fitted state = the vocabulary table; `vectorisers.go:159-181`).
-  * Term permutation leaves SVD/PCA FitTransform outputs invariant
-  * (row-permuting A permutes U only), so the deterministic dense rank
-  * is used. OOV terms at transform time are DROPPED, matching the
-  * reference's CountVectoriser (`vectorisers.go:193-198`). */
+  * Accepts BOTH upstream entry shapes: CountVectorise's (term, cnt)
+  * and TfIdfStage's (term, weight) — the value field is resolved from
+  * the entry schema at transform time, so either composition the
+  * scaladocs describe analyses cleanly (the output is always
+  * (term: long, weight: double)). Term permutation leaves SVD/PCA
+  * FitTransform outputs invariant (row-permuting A permutes U only),
+  * so the deterministic dense rank is used. OOV terms at transform
+  * time are DROPPED, matching the reference's CountVectoriser
+  * (`vectorisers.go:193-198`). */
 final case class VocabEncode(docIdCol: String, entriesCol: String,
                              outCol: String = "encoded") extends Stage {
   def fit(df: DataFrame): Fitted = {
@@ -106,11 +111,26 @@ final case class VocabEncode(docIdCol: String, entriesCol: String,
 final case class FittedVocab(vocab: DataFrame, d: Int, docIdCol: String,
                              entriesCol: String, outCol: String) extends Fitted {
   def transform(df: DataFrame): DataFrame = {
+    // resolve the entry value field from the schema: CountVectorise
+    // emits (term, cnt), the tf-idf path (term, weight) — reading a
+    // hardcoded `weight` made the CountVectorise → VocabEncode
+    // composition fit() fine and then fail analysis in transform()
+    val entryFields = df.schema(entriesCol).dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet
+    val valueField =
+      if (entryFields.contains("weight")) "weight"
+      else if (entryFields.contains("cnt")) "cnt"
+      else throw new IllegalArgumentException(
+        s"VocabEncode: entries column '$entriesCol' has fields " +
+          s"${entryFields.mkString("(", ", ", ")")}; expected a 'weight' " +
+          "or 'cnt' value field next to 'term'")
     val enc = df.select(col(docIdCol), explode(col(entriesCol)).as("e"))
       .join(vocab, col("e.term") === vocab("term")) // inner: OOV drops
       .groupBy(col(docIdCol))
       .agg(collect_list(struct(col("id").cast("long").as("term"),
-        col("e.weight").cast("double").as("weight"))).as(outCol))
+        col(s"e.$valueField").cast("double").as("weight"))).as(outCol))
     // a doc whose entries are empty or entirely OOV gets the EMPTY
     // encoding, not silently dropped (the reference keeps such docs as
     // zero vectors; an inner join here lost rows from the pipeline

@@ -83,6 +83,65 @@ class Round5SweepSpec extends AnyFunSuite with SparkSpec {
     assert(m.components.head().getSeq[Double](1).length === 3)
   }
 
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-r5s-").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  test("a whole-store rewrite stamps its commit time onto the root: " +
+    "rename preserves the staging dir's own older mtime, and without " +
+    "the stamp rowCount's staleness gate reads a committed swap as " +
+    "'nothing mutated' and persists pre-rewrite counts as complete") {
+    import spark.implicits._
+    import graft.ckpt.Fs
+    val root = s"${freshDir()}/store"
+    val st = new graft.ckpt.BatchStore(spark, root)
+    st.writeBatch(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), 0L)
+    assert(st.rowCount() === 3L)
+    Thread.sleep(15) // separate the pre-rewrite clock from the commit stamp
+    val t0 = System.currentTimeMillis()
+    Thread.sleep(15)
+    st.rewrite(df => df.filter(col("id") =!= 2L))
+    val m = Fs.modifiedMs(root, hconf)
+    assert(m.exists(_ > t0),
+      s"root mtime $m must postdate the rewrite started after $t0 — a " +
+        "swap serving the staging dir's write-time mtime is exactly the " +
+        "race that persisted stale row counts")
+    assert(st.rowCount() === 2L)
+  }
+
+  test("CountVectorise -> VocabEncode composes: the encoder resolves " +
+    "the entry value field (cnt vs weight) from the schema instead of " +
+    "failing analysis on a hardcoded 'weight'") {
+    import spark.implicits._
+    import graft.pipeline._
+    import graft.text.TextKernel
+    val docs = Seq((0L, "red fox red"), (1L, "blue fox"))
+      .toDF("doc_id", "text")
+      .withColumn("tokens", TextKernel.tokenize(col("text")))
+    val (_, out) = new Pipeline(
+      CountVectorise("tokens"),
+      VocabEncode("doc_id", "entries")).fitTransform(docs)
+    val enc = out.select(col("doc_id"), col("encoded")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(e => e.getLong(0) -> e.getDouble(1)).toMap).toMap
+    // counts survive as the weights; term ids are dense 0..2
+    assert(enc(0L).values.toSeq.sorted === Seq(1.0, 2.0))
+    assert(enc(1L).values.toSeq.sorted === Seq(1.0, 1.0))
+    val allTerms = enc.values.flatMap(_.keys).toSet
+    assert(allTerms === Set(0L, 1L, 2L))
+    // the weight-shaped input still works unchanged
+    val weighted = new Pipeline(
+      CountVectorise("tokens"),
+      TfIdfStage("doc_id", "entries"),
+      VocabEncode("doc_id", "tfidf")).fitTransform(docs)._2
+    assert(weighted.select("encoded").count() === 2L)
+  }
+
   test("project under per-slot sums: empty-entry and all-OOV docs still " +
     "get the zero vector (the reference's Components^T·m yields a zero " +
     "column, dimreduction.go:50-57)") {
