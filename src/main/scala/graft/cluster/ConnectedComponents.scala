@@ -92,32 +92,45 @@ object ConnectedComponents {
     var pot = potential(labels)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
-      // 1. neighbour-min: labels flow across edges
-      val nbr = sym.join(labels, sym("src") === labels("id"))
-        .select($"dst".as("id"), $"comp")
-      val merged = nbr.union(labels.select($"id", $"comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
-      // 2. pointer jump: comp := comp(comp) — halves path lengths
-      val m2 = merged.select($"id".as("jid"), $"comp".as("jcomp"))
-      val jumped = merged.join(m2, merged("comp") === m2("jid"), "left")
-        .select(merged("id"), coalesce($"jcomp", merged("comp")).as("comp"))
-      val t0 = System.nanoTime()
-      val next = jumped.localCheckpoint()
-      val nextPot = potential(next)
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] iter $iter ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      freeLocalCheckpoint(labels)
-      labels = next
-      converged = nextPot.compareTo(pot) == 0
-      pot = nextPot
-      iter += 1
+    // invariant 32 on the failure paths too: a caller that CATCHES a
+    // loop failure (Round2OpsSpec intercepts NonConvergence and keeps
+    // the session; a retrying pipeline would do the same) must not be
+    // left with this call's edge/label snapshots pinned in executor
+    // storage for the rest of the session
+    try {
+      while (iter < maxIter && !converged) {
+        // 1. neighbour-min: labels flow across edges
+        val nbr = sym.join(labels, sym("src") === labels("id"))
+          .select($"dst".as("id"), $"comp")
+        val merged = nbr.union(labels.select($"id", $"comp"))
+          .groupBy("id").agg(min("comp").as("comp"))
+        // 2. pointer jump: comp := comp(comp) — halves path lengths
+        val m2 = merged.select($"id".as("jid"), $"comp".as("jcomp"))
+        val jumped = merged.join(m2, merged("comp") === m2("jid"), "left")
+          .select(merged("id"), coalesce($"jcomp", merged("comp")).as("comp"))
+        val t0 = System.nanoTime()
+        val next = jumped.localCheckpoint()
+        // the one window where TWO label snapshots are live: a failed
+        // potential job must not orphan the new one
+        val nextPot =
+          try potential(next)
+          catch { case t: Throwable => freeLocalCheckpoint(next); throw t }
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(f"[cc] iter $iter ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        freeLocalCheckpoint(labels)
+        labels = next
+        converged = nextPot.compareTo(pot) == 0
+        pot = nextPot
+        iter += 1
+      }
+    } catch { case t: Throwable =>
+      freeLocalCheckpoint(sym); freeLocalCheckpoint(labels); throw t
     }
     // the edge snapshot is dead once the loop exits (the returned
     // labels frame is its own materialised LogicalRDD); the final
     // labels stay persisted for the caller to consume
     freeLocalCheckpoint(sym)
-    if (!converged) throw new NonConvergence(maxIter)
+    if (!converged) { freeLocalCheckpoint(labels); throw new NonConvergence(maxIter) }
     labels
   }
 

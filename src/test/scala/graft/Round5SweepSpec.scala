@@ -158,4 +158,21 @@ class Round5SweepSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L) === Seq(0.0, 0.0))
     assert(out(2L) === Seq(0.0, 0.0))
   }
+
+  test("connected components frees its snapshots on the NonConvergence " +
+    "path (invariant 32): a caller that catches and keeps the session " +
+    "is not left with this call's edge/label pins") {
+    import spark.implicits._
+    val path = (0 until 40).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[graft.cluster.ConnectedComponents.NonConvergence] {
+      graft.cluster.ConnectedComponents
+        .run(path, maxIter = 1, smallGraphThreshold = 0L)
+    }
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"non-convergent CC run retained ${added.size} block sets: " +
+        added.map(spark.sparkContext.getPersistentRDDs(_).toString)
+          .mkString("; "))
+  }
 }
