@@ -69,35 +69,50 @@ object ConnectedComponents {
     // union-find on EVERY downstream action (the caller consumes the
     // labels 2-3 times: count, final join, writes) — the exact waste
     // the loop's localCheckpoints exist to prevent
-    if (edgeCount <= smallGraphThreshold)
-      return smallGraph(edges).localCheckpoint()
+    if (edgeCount <= smallGraphThreshold) {
+      // lazy + guarded count instead of an eager checkpoint: the
+      // freeable handle exists before the materialisation job, so a
+      // failure cannot orphan a registered half-persisted RDD
+      val out = smallGraph(edges).localCheckpoint(eager = false)
+      try out.count()
+      catch { case t: Throwable => freeLocalCheckpoint(out); throw t }
+      return out
+    }
 
     // localCheckpoint (not persist): the incoming edge list carries the
     // whole upstream pipeline as its logical plan, and an iterative loop
     // would make Catalyst re-analyse that full tree on every round —
     // measured 15 s/round of pure planning on a 2.3k-edge input.
     // Checkpointing truncates the plan to the materialised blocks.
+    // Lazy (materialised by the first potential job) so the `finally`
+    // below already owns the handle when any job fails.
     val sym = edges.select($"a".as("src"), $"b".as("dst"))
       .union(edges.select($"b".as("src"), $"a".as("dst")))
       .repartition(p, $"src")
-      .localCheckpoint()
-
-    var labels = sym.select($"src".as("id")).distinct()
-      .withColumn("comp", $"id")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     def potential(l: DataFrame): java.math.BigDecimal =
       l.agg(sum($"comp".cast("decimal(38,0)"))).head().getDecimal(0)
 
-    var pot = potential(labels)
-    var iter = 0
-    var converged = false
-    // invariant 32 on the failure paths too: a caller that CATCHES a
-    // loop failure (Round2OpsSpec intercepts NonConvergence and keeps
-    // the session; a retrying pipeline would do the same) must not be
-    // left with this call's edge/label snapshots pinned in executor
-    // storage for the rest of the session
+    // invariant 32 on EVERY failure path: a caller that CATCHES a loop
+    // failure (Round2OpsSpec intercepts NonConvergence and keeps the
+    // session; a retrying pipeline would do the same) must not be left
+    // with this call's edge/label snapshots pinned in executor storage
+    // for the rest of the session. The try opens immediately after
+    // sym's checkpoint — the initial labels checkpoint and the first
+    // potential job are failure paths too. Checkpoints are LAZY
+    // (materialised by the potential job that follows each) so the
+    // freeable handle exists BEFORE any job runs: an eager
+    // checkpoint's own job failing halfway leaves a registered,
+    // partially persisted RDD with no reference to free.
+    var labels: DataFrame = null
     try {
+      labels = sym.select($"src".as("id")).distinct()
+        .withColumn("comp", $"id")
+        .localCheckpoint(eager = false)
+      var pot = potential(labels)
+      var iter = 0
+      var converged = false
       while (iter < maxIter && !converged) {
         // 1. neighbour-min: labels flow across edges
         val nbr = sym.join(labels, sym("src") === labels("id"))
@@ -109,9 +124,10 @@ object ConnectedComponents {
         val jumped = merged.join(m2, merged("comp") === m2("jid"), "left")
           .select(merged("id"), coalesce($"jcomp", merged("comp")).as("comp"))
         val t0 = System.nanoTime()
-        val next = jumped.localCheckpoint()
+        val next = jumped.localCheckpoint(eager = false)
         // the one window where TWO label snapshots are live: a failed
-        // potential job must not orphan the new one
+        // potential job (which is also next's materialisation) must
+        // not orphan the new one
         val nextPot =
           try potential(next)
           catch { case t: Throwable => freeLocalCheckpoint(next); throw t }
@@ -123,15 +139,16 @@ object ConnectedComponents {
         pot = nextPot
         iter += 1
       }
+      if (!converged) throw new NonConvergence(maxIter)
+      // the final labels stay persisted for the caller to consume
+      labels
     } catch { case t: Throwable =>
-      freeLocalCheckpoint(sym); freeLocalCheckpoint(labels); throw t
-    }
-    // the edge snapshot is dead once the loop exits (the returned
-    // labels frame is its own materialised LogicalRDD); the final
-    // labels stay persisted for the caller to consume
-    freeLocalCheckpoint(sym)
-    if (!converged) { freeLocalCheckpoint(labels); throw new NonConvergence(maxIter) }
-    labels
+      if (labels != null) freeLocalCheckpoint(labels)
+      throw t
+    } finally
+      // the edge snapshot is dead on every exit (the returned labels
+      // frame is its own materialised LogicalRDD)
+      freeLocalCheckpoint(sym)
   }
 
   /** Single-task union-find (size-adaptive fast path). Runs as an

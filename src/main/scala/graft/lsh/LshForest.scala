@@ -134,14 +134,19 @@ object LshForest {
         col("id"), col("sig"))
       // localCheckpoint: cands is read by the quota count, the done
       // semi-join AND the final ranking — without a lineage cut each
-      // reader re-executes the expansion join (the CC-loop lesson)
+      // reader re-executes the expansion join (the CC-loop lesson).
+      // LAZY (materialised by the first consumer's job) so the
+      // freeable handle is in `pins` BEFORE any job can fail: an
+      // eager checkpoint's own materialisation failing halfway
+      // leaves a registered, partially persisted RDD with no
+      // reference to free (the CC-loop failure-path lesson).
       val cands = pending
         .join(level,
           pending("rot") === level("c_rot") && pfx(pending("k")) === level("p"))
         .select(col("qid"), col("qsig"), col("id"), col("sig"))
         .filter(col("qid") =!= col("id"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       pins += cands
       // cands checkpoints feed the returned frame — they ride back to
       // the caller as pins, freeable once the result is materialized;
@@ -155,18 +160,28 @@ object LshForest {
         val done = cands.join(counts,
           cands("qid") === counts("done_qid"), "left_semi")
         found = if (found == null) done else found.union(done)
+        // lazy like cands: materialised by the isEmpty probe below,
+        // with the handle already in scope to free on that job failing
         val next = pending
           .join(counts, pending("qid") === counts("done_qid"), "left_anti")
-          .localCheckpoint()
-        if (pending ne pending0) graft.ckpt.Checkpoints.free(pending)
+          .localCheckpoint(eager = false)
         // cheap emptiness probe bounds the loop (log-rounds, not data).
         // An EMPTY next (every query met its quota — the common dense-
         // corpus exit) is dead on arrival: free it here or it outlives
         // the search as an orphaned block set.
-        if (next.isEmpty) { graft.ckpt.Checkpoints.free(next); pending = null }
+        val nextEmpty =
+          try next.isEmpty
+          catch { case t: Throwable => graft.ckpt.Checkpoints.free(next); throw t }
+        if (pending ne pending0) graft.ckpt.Checkpoints.free(pending)
+        if (nextEmpty) { graft.ckpt.Checkpoints.free(next); pending = null }
         else pending = next
       } else {
-        // final round: every still-pending query finalizes here
+        // final round: every still-pending query finalizes here. The
+        // lazy cands must MATERIALISE before its input snapshot is
+        // freed — a truncated-lineage checkpoint cannot recompute —
+        // so run the count an eager checkpoint would have (a failure
+        // is covered: cands is already in pins, freed by the catch)
+        cands.count()
         found = if (found == null) cands else found.union(cands)
         if (pending ne pending0) graft.ckpt.Checkpoints.free(pending)
         pending = null
@@ -189,8 +204,13 @@ object LshForest {
       pins.foreach(graft.ckpt.Checkpoints.free)
       if (pending != null && (pending ne pending0))
         graft.ckpt.Checkpoints.free(pending)
-      pending0.unpersist(blocking = false)
-      corpus.unpersist(blocking = false)
+      // cleanup must not mask the root cause: unpersist talks to the
+      // cache manager, which throws while the context is tearing down
+      // (Checkpoints.free guards itself the same way)
+      try {
+        pending0.unpersist(blocking = false)
+        corpus.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
       throw t
     }
   }
