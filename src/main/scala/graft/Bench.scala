@@ -222,6 +222,12 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - wallStart) / 1e9
     val wallBudget = sys.env.get("SPARK_GRAFT_BENCH_WALL_SEC")
       .map(_.toDouble).getOrElse(1800.0)
+    // parsed HERE with the other env knobs so a malformed value fails
+    // fast at startup, not ~700 s in at the replenish gate where an
+    // uncaught NumberFormatException would skip the JSON print and
+    // lose the whole artifact (the dead-level path's failure mode)
+    val effTarget = sys.env.get("SPARK_GRAFT_BENCH_EFF_TARGET")
+      .map(_.toDouble).getOrElse(0.8)
     var wallTripped = false
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus4N = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
@@ -611,7 +617,6 @@ object Bench {
       }
     }
     if (invertedPairs.nonEmpty && inversionRetries < 3) wallTripped = true
-    val levelInversion = invertedPairs.nonEmpty
     // ---- small-pair efficiency replenish ----
     // Same physics as the inversion guard, one notch finer: an S/N pair
     // whose min-of-all ratio reads below the north-rule gate despite
@@ -621,15 +626,18 @@ object Bench {
     // and one run measured an N leg 37% over its cross-run floor with
     // an in-band canary (CPU-side co-tenant noise shows neither as
     // steal nor as bandwidth). Contention only INFLATES wall time, so
-    // extra samples at BOTH legs (which leg is depressed is ambiguous,
-    // exactly like the inversion case) with min-of-all selection can
-    // only move the ratio TOWARD the true one: if the machine's real
-    // ratio is below the gate, replenish cannot lift the per-level
-    // floors above it and the low reading stands, honestly. Bounded by
-    // its own round cap and the wall guard; rounds taken are recorded
-    // in the artifact (`eff_retries`).
-    val effTarget = sys.env.get("SPARK_GRAFT_BENCH_EFF_TARGET")
-      .map(_.toDouble).getOrElse(0.8)
+    // extra samples with min-of-all selection can only move each
+    // level's floor — and therefore the ratio — TOWARD the true one:
+    // if the machine's real ratio is below the gate, replenish cannot
+    // lift the per-level floors above it and the low reading stands,
+    // honestly. A round samples ALL THREE levels: S and N because
+    // which of the pair is depressed is ambiguous (exactly the
+    // inversion case), and 4N because a new N floor would otherwise
+    // lower the headline N→4N efficiency against a 4N floor that
+    // never got the same chance to shed its own window inflation —
+    // the asymmetric-sampling bias this loop exists to remove.
+    // Bounded by its own round cap and the wall guard; rounds taken
+    // are recorded in the artifact (`eff_retries`).
     def effSmallNow: Double = lvlS.headOption match {
       case Some(s) if s.samples.nonEmpty && lvlN.samples.nonEmpty =>
         (s.pickSec / lvlN.pickSec) / (cpusN.toDouble / cpusS)
@@ -638,15 +646,21 @@ object Bench {
     var effRetries = 0
     while (effSmallNow < effTarget && effRetries < 3 &&
            elapsedSec + lvlS.map(_.estAttemptSec).sum +
-             lvlN.estAttemptSec <= wallBudget) {
+             lvlN.estAttemptSec + lvl4N.estAttemptSec <= wallBudget) {
       effRetries += 1
       System.err.println(f"[bench] eff_small $effSmallNow%.3f below " +
-        f"target $effTarget%.2f — replenish round $effRetries at S and N " +
-        "(min-of-all: extra samples can only approach the true ratio)")
+        f"target $effTarget%.2f — replenish round $effRetries at all " +
+        "levels (min-of-all: extra samples can only approach the true ratio)")
       lvlS.foreach(_.attempt(sfDir, synthetic))
       lvlN.attempt(sfDir, synthetic)
+      lvl4N.attempt(sfDir, synthetic)
     }
     if (effSmallNow < effTarget && effRetries < 3) wallTripped = true
+    // evaluated AFTER the replenish loop: the extra samples move level
+    // floors, and a flag frozen before them could contradict the
+    // shipped numbers in either direction (an inversion the replenish
+    // resolved still flagged, or one it created shipped silent)
+    val levelInversion = invertedPairs.nonEmpty
     // persist the learned reference (max-merge, capped): a later run in
     // a depressed window then gates against the best this host has ever
     // demonstrated, not against its own degraded readings
