@@ -213,11 +213,40 @@ object Fs {
 
   /** Refresh the modification time of an existing file (lease
     * heartbeat). Never creates the file; a missing path is a no-op —
-    * the holder losing its lease mid-beat must not resurrect it. */
+    * the holder losing its lease mid-beat must not resurrect it.
+    *
+    * `setTimes` is a silent NO-OP on the base `FileSystem` (bytecode:
+    * `return`) and object-store implementations (s3a) inherit it — on
+    * exactly the stores this facade advertises, a heartbeat that only
+    * called setTimes would never refresh the lock and a live
+    * longer-than-TTL lease would be silently breakable (two writers).
+    * So the stamp is verified after the call, and when it did not
+    * move, the file is rewritten in place with its own bytes — a PUT
+    * updates Last-Modified on every store. The rewrite window is
+    * benign for the break protocol: a breaker's ownership re-read that
+    * catches the rewrite mid-flight reads a partial token, fails its
+    * own-token verification, and aborts the break (the safe side). The
+    * 2 s tolerance keeps setTimes-supporting stores (local, HDFS — the
+    * stamp lands exactly on `now`) on the cheap path. */
   def touch(path: String, conf: Configuration): Unit = try {
     val fs = fileSystem(path, conf)
     val p = new HPath(path)
-    if (fs.exists(p)) fs.setTimes(p, System.currentTimeMillis(), -1)
+    if (fs.exists(p)) {
+      val now = System.currentTimeMillis()
+      fs.setTimes(p, now, -1)
+      if (fs.getFileStatus(p).getModificationTime < now - 2000) {
+        val in = fs.open(p)
+        val bytes = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          buf.toByteArray
+        } finally in.close()
+        val out = fs.create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+    }
   } catch { case _: java.io.IOException => () }
 
   /** Modification time of `path` in epoch millis, if it exists. */

@@ -87,8 +87,19 @@ class ParquetStageStore(spark: SparkSession, root: String) extends CheckpointSto
             val p = s"$root/$fn"
             if (Fs.exists(p, hconf)) {
               val body = Fs.readString(p, hconf)
-              if (body.contains("\"inputs\":") &&
-                  body.split("\"inputs\":")(1).contains("\"" + cur + "\""))
+              // match INSIDE the inputs array only: the manifest tail
+              // after "inputs": also carries the partitions array,
+              // whose quoted JSON keys ("file", "bytes") and part-file
+              // names would make a stage named like one of them a
+              // spurious dependent of EVERY manifest — invalidate()
+              // would then cascade-delete the whole committed store
+              val tag = "\"inputs\":["
+              val start = body.indexOf(tag)
+              val end = if (start < 0) -1
+                        else body.indexOf(']', start + tag.length)
+              if (start >= 0 && end > start &&
+                  body.substring(start + tag.length, end)
+                    .contains("\"" + cur + "\""))
                 work += fn.stripSuffix(".manifest.json")
             }
           }

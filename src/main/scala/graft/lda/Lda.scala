@@ -79,12 +79,30 @@ final class LdaModel(val nPhi: Array[Double], val nZ: Array[Double],
   /** K×W topic-over-word probability rows (`lda.go:normalisePhi`). */
   def topicsLocal: Array[Array[Double]] = Lda.normalisePhi(nPhi, cfg.k, cfg.vocab)
 
-  /** (topic, term, prob) DataFrame face of [[topicsLocal]]. */
+  /** (topic, term, prob) DataFrame face of [[topicsLocal]]. Emitted
+    * DISTRIBUTED, like [[save]]: a driver-side strict collection of
+    * K×W boxed tuples is ~2.5-3 GB of Tuple3 objects at the production
+    * shape this file documents (W = 2^18, K = 100) — a driver OOM for
+    * a frame whose rows are a pure function of (term, broadcast). The
+    * per-topic normaliser (the column sum Σ_w nPhi[w][k], exactly
+    * [[Lda.normalisePhi]]'s — no smoothing term, reference parity) is
+    * precomputed once on the driver (K doubles) so executors don't
+    * each re-reduce the W×K array. */
   def topics(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val t = topicsLocal
-    (for (k <- 0 until cfg.k; w <- 0 until cfg.vocab)
-      yield (k, w.toLong, t(k)(w))).toDF("topic", "term", "prob")
+    val K = cfg.k
+    val W = cfg.vocab
+    val colSum = new Array[Double](K)
+    var i = 0
+    while (i < nPhi.length) { colSum(i % K) += nPhi(i); i += 1 }
+    val bc = spark.sparkContext.broadcast(nPhi)
+    val bcSum = spark.sparkContext.broadcast(colSum)
+    spark.range(0, W.toLong, 1, spark.sparkContext.defaultParallelism)
+      .flatMap { w =>
+        val phi = bc.value; val s = bcSum.value
+        (0 until K).map { k => (k, w, phi(w.toInt * K + k) / s(k)) }
+      }
+      .toDF("topic", "term", "prob")
   }
 
   /** Posterior document-over-topic distributions for (possibly new)

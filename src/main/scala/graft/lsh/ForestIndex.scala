@@ -37,6 +37,11 @@ class ForestIndex(spark: SparkSession, path: String,
     s"prefixBits must be in [1, minPrefix=$minPrefix], got $prefixBits " +
       "(the partition prefix must be a prefix of every join prefix, or " +
       "pruning would drop true candidates)")
+  require(tables >= 1 && 64 % tables == 0,
+    s"tables must divide 64, got $tables — put() would stamp the value " +
+      "into the immutable layout manifest and every later search() " +
+      "would throw (LshForest's rotation spacing is 64/tables), leaving " +
+      "the stored index a permanent dead end")
 
   private val store = new graft.ckpt.BatchStore(spark, s"$path/sigs",
     subPartitionCols = Seq("tb"))
@@ -130,6 +135,7 @@ class ForestIndex(spark: SparkSession, path: String,
     * the batch id is allocated and written under one writer-lease
     * claim. */
   def put(sigs: DataFrame): Unit = {
+    if (sigs.isEmpty) return // no-op, same contract as the sibling indexes
     requireServingLayout()
     ensureLayout(write = true)
     store.append(rotRows(sigs)); ()
@@ -137,6 +143,7 @@ class ForestIndex(spark: SparkSession, path: String,
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(sigs: DataFrame, batchId: Long): Unit = {
+    if (sigs.isEmpty) return // no-op, same contract as the sibling indexes
     requireServingLayout()
     ensureLayout(write = true)
     store.writeBatch(rotRows(sigs), batchId)
@@ -204,7 +211,16 @@ class ForestIndex(spark: SparkSession, path: String,
     // re-evaluate it, and a nondeterministic caller frame (sample,
     // unordered limit) re-evaluated differently would probe tb
     // partitions the filter already excluded — silent misses
-    val nq = normalize(queries).localCheckpoint(true)
+    // LAZY checkpoint + guarded materialisation (the CC-loop pattern):
+    // an EAGER localCheckpoint whose own job fails mid-way (a null
+    // query id's raise_error firing in one task) leaves the partitions
+    // that completed persisted with no handle to free — each failing
+    // micro-batch of a serving loop would accrete a pinned block set
+    val nq = normalize(queries).localCheckpoint(eager = false)
+    def freeing[A](body: => A): A =
+      try body
+      catch { case t: Throwable => graft.ckpt.Checkpoints.free(nq); throw t }
+    freeing { nq.count(): Unit } // materialise under the guard
     // materialize the (top-k-sized) result so the query pin can be
     // freed eagerly (invariant 32: a per-micro-batch serving loop must
     // not accrete one pinned query block set per call until driver GC);
@@ -212,11 +228,17 @@ class ForestIndex(spark: SparkSession, path: String,
     // refit-stamp validation, so eagerness here also keeps the three
     // indexes' search semantics uniform
     val (plan, pins) =
-      try LshForest.searchTopKRotatedPinned(prunedOf(nq),
-        nq, "id", "sig", k, tables, step, minPrefix)
-      catch { case t: Throwable => // prunedOf's collect can throw too
-        graft.ckpt.Checkpoints.free(nq); throw t }
-    try plan.localCheckpoint(true)
+      freeing { // prunedOf's collect can throw too
+        LshForest.searchTopKRotatedPinned(prunedOf(nq),
+          nq, "id", "sig", k, tables, step, minPrefix)
+      }
+    // same lazy+guard shape for the result snapshot: its blocks must be
+    // freeable if ITS materialisation job dies (executor loss mid-
+    // search), and it must materialise BEFORE the finally releases the
+    // pins its lineage still reads
+    val res = plan.localCheckpoint(eager = false)
+    try { res.count(); res }
+    catch { case t: Throwable => graft.ckpt.Checkpoints.free(res); throw t }
     finally (pins :+ nq).foreach(graft.ckpt.Checkpoints.free)
   }
 

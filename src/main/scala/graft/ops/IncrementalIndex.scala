@@ -166,6 +166,11 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * first: a cross-batch doc_id collision would silently alias two
     * documents in every later search. */
   def put(pages: DataFrame): Unit = {
+    // an empty put is a no-op — and MUST short-circuit before
+    // signatures(): a first put with zero rows would otherwise fit and
+    // permanently publish degenerate corpus stats (n = 0, empty idf),
+    // signing every later document with all-zero weights
+    if (pages.isEmpty) return
     ensureClean()
     reconcileBands()
     // pin the signatures BEFORE the audit: the audit's count actions
@@ -261,6 +266,10 @@ class IncrementalIndex(spark: SparkSession, path: String,
     * the same partition directories instead of duplicating rows. Both
     * halves (signatures + band rows) key on the same batch id. */
   def putBatch(pages: DataFrame, batchId: Long): Unit = {
+    // empty micro-batches (checkpoint replay past source retention, a
+    // trigger with no data) are no-ops — see put(): an empty FIRST
+    // batch must not fit-and-publish degenerate corpus stats
+    if (pages.isEmpty) return
     ensureClean()
     reconcileBands()
     // pinned before the audit — see put()

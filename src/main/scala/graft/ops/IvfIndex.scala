@@ -145,6 +145,10 @@ class IvfIndex(spark: SparkSession, path: String,
   /** Append (id, vec) rows as a new batch under one writer-lease
     * claim. */
   def put(vecs: DataFrame): Unit = {
+    // an empty put is a no-op — and MUST short-circuit before
+    // assigned(): a first put with zero rows would otherwise attempt a
+    // codebook fit over an empty sample and throw
+    if (vecs.isEmpty) return
     ensureRefitComplete()
     store.append(assigned(vecs))
     maybeAutoRefit()
@@ -152,6 +156,9 @@ class IvfIndex(spark: SparkSession, path: String,
 
   /** Idempotent per-batch insert (streaming replay safe). */
   def putBatch(vecs: DataFrame, batchId: Long): Unit = {
+    // empty micro-batches are no-ops — see put(): an empty FIRST batch
+    // must not crash the streaming query on a zero-sample codebook fit
+    if (vecs.isEmpty) return
     ensureRefitComplete()
     store.writeBatch(assigned(vecs), batchId)
     maybeAutoRefit()

@@ -104,7 +104,13 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     val dec = decoder
-    media.select(col(docIdCol).cast("long"), col(payloadCol))
+    // null ids fail LOUDLY (DESIGN invariant 33): a null in the
+    // primitive-Long tuple field would otherwise kill the job with an
+    // opaque encoder NPE ("Null value appeared in non-nullable field")
+    // — one row from a failed upstream ingest should name itself
+    media.select(coalesce(col(docIdCol).cast("long"), raise_error(lit(
+        "identity-less media row: null doc id — feature rows are keyed " +
+          "by docId")).cast("long")), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         // per-partition instance: concurrent tasks must not share codec

@@ -126,11 +126,17 @@ final case class FittedVocab(vocab: DataFrame, d: Int, docIdCol: String,
         s"VocabEncode: entries column '$entriesCol' has fields " +
           s"${entryFields.mkString("(", ", ", ")")}; expected a 'weight' " +
           "or 'cnt' value field next to 'term'")
+    // array_sort: collect_list order is shuffle/task-arrival order,
+    // nondeterministic run to run — downstream per-row kernels fold
+    // entries in array order (Double addition is not associative), so
+    // an unsorted encoding breaks the library's bit-reproducibility
+    // contract (same reason TfIdf.applyIdf sorts). Struct sort orders
+    // by the first field: the (unique-per-doc) term id.
     val enc = df.select(col(docIdCol), explode(col(entriesCol)).as("e"))
       .join(vocab, col("e.term") === vocab("term")) // inner: OOV drops
       .groupBy(col(docIdCol))
-      .agg(collect_list(struct(col("id").cast("long").as("term"),
-        col(s"e.$valueField").cast("double").as("weight"))).as(outCol))
+      .agg(array_sort(collect_list(struct(col("id").cast("long").as("term"),
+        col(s"e.$valueField").cast("double").as("weight")))).as(outCol))
     // a doc whose entries are empty or entirely OOV gets the EMPTY
     // encoding, not silently dropped (the reference keeps such docs as
     // zero vectors; an inner join here lost rows from the pipeline
@@ -147,9 +153,18 @@ final case class FittedVocab(vocab: DataFrame, d: Int, docIdCol: String,
 final case class SvdStage(docIdCol: String, entriesCol: String, k: Int,
                           d: Int = 0, outCol: String = "proj") extends Stage {
   def fit(df: DataFrame): Fitted = {
-    val dd = if (d > 0) d else
-      df.select(explode(col(entriesCol)).as("e"))
-        .agg(max(col("e.term"))).head().getLong(0).toInt + 1
+    val dd = if (d > 0) d else {
+      // max() over zero entry rows returns null — getLong would NPE
+      // opaquely; raise the explanatory error this codebase uses for
+      // degenerate input everywhere else
+      val row = df.select(explode(col(entriesCol)).as("e"))
+        .agg(max(col("e.term"))).head()
+      if (row.isNullAt(0)) throw new IllegalArgumentException(
+        "SvdStage: cannot derive dimensionality (d <= 0) from a corpus " +
+          "with no entries — every document's entry array is empty; " +
+          "pass d explicitly or fix the upstream encoding")
+      row.getLong(0).toInt + 1
+    }
     val model = graft.dimred.TruncatedSVD.fit(df, docIdCol, entriesCol, dd, k)
     FittedProjection(model, docIdCol, entriesCol, outCol)
   }

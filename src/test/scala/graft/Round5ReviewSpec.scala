@@ -9,6 +9,17 @@ import graft.ckpt.{BatchStore, Fs}
   * manifest fails loudly when unreadable and guards compact() like
   * every other mutation, and IvfIndex.refit stamps DISTINCT identities
   * even when a batch re-states an id. */
+/** A local filesystem whose `setTimes` is a silent no-op — the exact
+  * behavior the base `FileSystem` (and s3a, which inherits it) ships:
+  * lets the suite exercise [[graft.ckpt.Fs.touch]]'s rewrite fallback
+  * without an object store. */
+class NoOpTimesFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def setTimes(p: org.apache.hadoop.fs.Path,
+                        mtime: Long, atime: Long): Unit = ()
+  override def getScheme: String = "nooptimes"
+  override def getUri: java.net.URI = java.net.URI.create("nooptimes:///")
+}
+
 class Round5ReviewSpec extends AnyFunSuite with SparkSpec {
 
   private def hconf = spark.sparkContext.hadoopConfiguration
@@ -269,5 +280,195 @@ class Round5ReviewSpec extends AnyFunSuite with SparkSpec {
     assert((pairsA intersect pairsB).nonEmpty,
       "shared-run anchors must agree on (key, skey) so the pair sorts " +
         "adjacent in an oversized bucket")
+  }
+
+  test("invalidate() matches dependents inside the inputs array only: " +
+    "a stage named like a manifest JSON key ('bytes') is not a spurious " +
+    "dependent of every committed stage") {
+    import spark.implicits._
+    val root = freshDir()
+    val store = new graft.ckpt.ParquetStageStore(spark, root)
+    // three stages: 'base' (no inputs), 'bytes' (depends on base — the
+    // name collides with the partitions-array JSON key every manifest
+    // carries), and 'other' (depends on base only)
+    store.stage("base") { Seq(1, 2, 3).toDF("v") }
+    store.stage("bytes", Seq("base")) { Seq(4).toDF("v") }
+    store.stage("other", Seq("base")) { Seq(5).toDF("v") }
+    assert(store.isCommitted("base") && store.isCommitted("bytes") &&
+      store.isCommitted("other"))
+    // invalidating 'bytes' must touch ONLY 'bytes': before the fix the
+    // dependent scan substring-matched '"bytes"' against the manifest
+    // tail after "inputs":, which includes the partitions stats — so
+    // EVERY manifest matched and the whole committed store cascaded
+    store.invalidate("bytes")
+    assert(!store.isCommitted("bytes"))
+    assert(store.isCommitted("base"),
+      "an upstream stage must survive invalidating its dependent")
+    assert(store.isCommitted("other"),
+      "a sibling stage with no dependency on 'bytes' must stay committed")
+    // the true cascade still works: invalidating base takes out other
+    store.invalidate("base")
+    assert(!store.isCommitted("base") && !store.isCommitted("other"))
+  }
+
+  test("an empty first put is a no-op on every index: no degenerate " +
+    "corpus-stats publish, no zero-sample codebook fit, and the first " +
+    "REAL batch fits normally") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("url", "text")
+    // dedup index: before the guard this published CorpusStats(n=0,
+    // empty idf) permanently — every later doc signed with all-zero
+    // weights and no signal
+    val idxPath = s"${freshDir()}/idx"
+    val idx = new graft.ops.IncrementalIndex(spark, idxPath)
+    idx.putBatch(empty, 0L)
+    assert(idx.isEmpty, "empty putBatch must store nothing")
+    assert(!Fs.exists(s"$idxPath/stats", hconf),
+      "empty first put must NOT fit-and-publish corpus stats")
+    idx.put(empty)
+    assert(!Fs.exists(s"$idxPath/stats", hconf))
+    // the first real batch then fits real stats and serves matches
+    val a = doc("alpha")
+    val real = Seq(("u1", a), ("u2", a + " tail"), ("u3", doc("zulu")))
+      .toDF("url", "text")
+    idx.putBatch(real, 1L)
+    assert(Fs.exists(s"$idxPath/stats", hconf),
+      "first NON-empty put fits stats")
+    val m = idx.search(Seq(("q1", a)).toDF("url", "text"))
+    assert(m.filter(col("match_url") === "u1").count() >= 1,
+      "index built after an empty batch still matches near-dups")
+    // IVF index: before the guard the zero-sample codebook fit threw,
+    // killing the streaming query on its first empty trigger
+    val ivfPath = s"${freshDir()}/ivf"
+    val ivf = new graft.ops.IvfIndex(spark, ivfPath, nCells = 2)
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    ivf.putBatch(emptyVecs, 0L)
+    ivf.put(emptyVecs)
+    assert(!Fs.exists(s"$ivfPath/codebook", hconf),
+      "empty first put must NOT fit a codebook")
+    ivf.put(Seq((1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0f, 1f))).toDF("id", "vec"))
+    val r = ivf.search(Seq((10L, Array(1f, 0f))).toDF("id", "vec"), 1)
+    assert(r.collect().map(_.getLong(1)).toSeq == Seq(1L),
+      "index built after an empty batch serves correct neighbors")
+  }
+
+  test("VocabEncode emits term-sorted encodings: entry order is " +
+    "deterministic, not shuffle-arrival order") {
+    import spark.implicits._
+    // enough terms per doc that an arrival-ordered collect_list is
+    // overwhelmingly unlikely to coincide with sorted order
+    val docs = Seq(
+      (1L, (0 until 40).map(i => s"t${(i * 7) % 40}")),
+      (2L, (0 until 40).map(i => s"t${(i * 11) % 40}"))
+    ).toDF("doc_id", "tokens")
+    val enc = new graft.pipeline.Pipeline(
+      graft.pipeline.CountVectorise("tokens"),
+      graft.pipeline.VocabEncode("doc_id", "entries"))
+      .fitTransform(docs)._2
+    enc.select(col("doc_id"), col("encoded")).collect().foreach { r =>
+      val terms = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      assert(terms == terms.sorted,
+        s"doc ${r.getLong(0)}: encoded terms must be ascending, got $terms")
+      assert(terms.distinct.size == terms.size)
+    }
+  }
+
+  test("SvdStage with derived dimensionality fails loudly (not an NPE) " +
+    "when every document's entry array is empty") {
+    import spark.implicits._
+    val docs = Seq((1L, Seq.empty[String]), (2L, Seq.empty[String]))
+      .toDF("doc_id", "tokens")
+    val e = intercept[IllegalArgumentException] {
+      new graft.pipeline.Pipeline(
+        graft.pipeline.CountVectorise("tokens"),
+        graft.pipeline.VocabEncode("doc_id", "entries"),
+        graft.pipeline.SvdStage("doc_id", "encoded", k = 2)).fit(docs)
+    }
+    assert(e.getMessage.contains("cannot derive dimensionality"))
+  }
+
+  test("Multimodal.extractFeatures names a null doc id loudly instead " +
+    "of dying on an opaque encoder NPE") {
+    import spark.implicits._
+    val rows = Seq((java.lang.Long.valueOf(1L), "ok".getBytes),
+      (null.asInstanceOf[java.lang.Long], "bad".getBytes))
+      .toDF("doc_id", "payload")
+    val e = intercept[Exception] {
+      graft.ops.Multimodal.extractFeatures(rows, "doc_id", "payload")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("identity-less media row")),
+      s"expected the loud identity error, got: ${messages(e)}")
+  }
+
+  test("Fs.touch refreshes the lease stamp even where setTimes is a " +
+    "no-op (s3a semantics): the heartbeat rewrite fallback") {
+    hconf.set("fs.nooptimes.impl", classOf[NoOpTimesFs].getName)
+    val local = s"${freshDir()}/lock"
+    Fs.writeStringAtomic(local, "owner-token-42", hconf)
+    // backdate the real file so the no-op setTimes leaves it stale
+    val old = System.currentTimeMillis() - 60000
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(local),
+      java.nio.file.attribute.FileTime.fromMillis(old))
+    val viaNoop = s"nooptimes://$local"
+    assert(Fs.modifiedMs(viaNoop, hconf).exists(_ <= old + 1000))
+    val before = System.currentTimeMillis()
+    Fs.touch(viaNoop, hconf)
+    val after = Fs.modifiedMs(viaNoop, hconf).get
+    assert(after >= before - 2000,
+      s"touch must refresh the stamp via rewrite when setTimes no-ops " +
+        s"(stamp $after vs now $before)")
+    assert(Fs.readString(local, hconf) == "owner-token-42",
+      "the rewrite must preserve the lock content (owner token)")
+    // and it must never CREATE a missing lock (lease-loss contract)
+    val missing = s"nooptimes://${freshDir()}/gone"
+    Fs.touch(missing, hconf)
+    assert(!Fs.exists(missing, hconf))
+  }
+
+  test("ForestIndex rejects tables that do not divide 64 at " +
+    "construction, before any row or manifest is persisted") {
+    val e = intercept[IllegalArgumentException] {
+      new graft.lsh.ForestIndex(spark, s"${freshDir()}/f", tables = 3)
+    }
+    assert(e.getMessage.contains("divide 64"))
+  }
+
+  test("ForestIndex.search frees every snapshot on a failing query " +
+    "batch (null id raise_error mid-materialisation)") {
+    import spark.implicits._
+    val fi = new graft.lsh.ForestIndex(spark, s"${freshDir()}/f")
+    fi.put(Seq((1L, 7L), (2L, -9L)).toDF("id", "sig"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val bad = Seq((java.lang.Long.valueOf(10L), 7L),
+      (null.asInstanceOf[java.lang.Long], 5L)).toDF("id", "sig")
+    intercept[Exception] { fi.search(bad, 2) }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"a failed search must not leave pinned snapshots, leaked: $leaked")
+    // the index still serves after the failed batch
+    val ok = fi.search(Seq((10L, 7L)).toDF("id", "sig"), 1).collect()
+    assert(ok.map(_.getLong(1)).toSeq == Seq(1L))
+  }
+
+  test("LdaModel.topics emits distributed rows identical to topicsLocal " +
+    "(no smoothing drift, no driver-side K×W materialisation)") {
+    val k = 2; val vocab = 3
+    // nPhi layout is w*k+t (term-major): w0=(1,3) w1=(2,1) w2=(7,6)
+    val nPhi = Array(1.0, 3.0, 2.0, 1.0, 7.0, 6.0)
+    val m = new graft.lda.LdaModel(nPhi, Array(10.0, 10.0),
+      graft.lda.LdaConfig(k = k, vocab = vocab))
+    val local = m.topicsLocal
+    val rows = m.topics(spark).collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(rows.size == k * vocab)
+    for (t <- 0 until k; w <- 0 until vocab)
+      assert(math.abs(rows((t, w.toLong)) - local(t)(w)) < 1e-15,
+        s"topic $t term $w: ${rows((t, w.toLong))} vs ${local(t)(w)}")
   }
 }
