@@ -161,7 +161,22 @@ object DedupPipeline {
    * [[DedupConfig.broadcastIdLimit]]. Zero collisions (the common
    * case) = one audit aggregation and an unchanged frame.
    */
-  def resolveIdCollisions(extracted: DataFrame, cfg: DedupConfig): DataFrame = {
+  def resolveIdCollisions(extracted: DataFrame, cfg: DedupConfig): DataFrame =
+    resolveIdCollisionsCounted(extracted, cfg)._1
+
+  /** [[resolveIdCollisions]] plus, on the clean path, the DISTINCT
+    * doc_id count the audit aggregation already paid for. The count is
+    * the broadcast-guard bound [[run]] previously measured with two
+    * extra count jobs (exact-dup edges, candidate pairs): every id set
+    * those joins broadcast (dup ids, candidate-member ids) is a set of
+    * doc_ids, so its cardinality is bounded by this value — one job now
+    * carries the audit AND every downstream broadcast decision
+    * (optimization round: ~3 serial job barriers removed per run; the
+    * fixture-scale pipeline wall is job-floor-bound, see
+    * OPTIMIZATION_r06.md). None when the audit is disabled
+    * (idAuditRounds = 0) — callers then fall back to measuring. */
+  private[graft] def resolveIdCollisionsCounted(
+      extracted: DataFrame, cfg: DedupConfig): (DataFrame, Option[Long]) = {
     // null caller-supplied ids are normalised up front (narrow
     // projection): the audit's equi-join can never match a null key, so
     // a null collision group would survive every rehash round and die
@@ -175,8 +190,9 @@ object DedupPipeline {
       coalesce(col("doc_id"),
         when(col("url").isNull, lit(null).cast("long"))
           .otherwise(xxhash64(col("url")))))
+    if (cfg.idAuditRounds <= 0) return (cur, None)
     var round = 0
-    while (round <= cfg.idAuditRounds && cfg.idAuditRounds > 0) {
+    while (round <= cfg.idAuditRounds) {
       // distinctness proxy: a second hash under a seed DISJOINT from the
       // rehash round range [1, idAuditRounds]. With seed 1 (= round 1's
       // rehash salt) a round-1-remapped doc's doc_id EQUALS its
@@ -188,12 +204,22 @@ object DedupPipeline {
       // the clean path): identity-less rows — neither a caller id nor
       // a url — cannot be rehashed into an identity and must fail with
       // their own message, not the collision one
-      val bad = cur.groupBy("doc_id")
+      val grouped = cur.groupBy("doc_id")
         .agg(countDistinct(xxhash64(col("url"), auditSeed)).as("u"))
-        .filter(col("u") > 1 || col("doc_id").isNull).select("doc_id")
-      val nBad = bad.count()
-      if (nBad == 0) return cur
-      if (bad.filter(col("doc_id").isNull).count() > 0)
+      // ONE scalar row drives everything: id count (broadcast bound),
+      // collision count, null-identity presence — the per-group frame
+      // is only re-executed on the (rare) collision path below
+      val st = grouped.agg(
+        count(lit(1)).as("n_ids"),
+        coalesce(sum(when(col("u") > 1, lit(1L)).otherwise(lit(0L))), lit(0L))
+          .as("n_bad"),
+        coalesce(sum(when(col("doc_id").isNull, lit(1L)).otherwise(lit(0L))),
+          lit(0L)).as("n_null")).head()
+      val nIds = st.getLong(0)
+      val nBad = st.getLong(1)
+      val nNull = st.getLong(2)
+      if (nBad == 0 && nNull == 0) return (cur, Some(nIds))
+      if (nNull > 0)
         throw new IllegalArgumentException(
           "rows with neither a doc_id nor a url have no identity — " +
             "xxhash64(null) would fold them all onto one shared doc_id " +
@@ -205,6 +231,7 @@ object DedupPipeline {
             s"rehash rounds ($nBad colliding ids) — refusing to cluster " +
             "with ambiguous identities")
       round += 1
+      val bad = grouped.filter(col("u") > 1).select("doc_id")
       val badIds = (if (nBad <= cfg.broadcastIdLimit) bad.hint("broadcast")
                     else bad).withColumnRenamed("doc_id", "__bad_id")
       cur = cur.join(badIds, cur("doc_id") === col("__bad_id"), "left")
@@ -213,7 +240,7 @@ object DedupPipeline {
             .otherwise(col("doc_id")))
         .drop("__bad_id")
     }
-    cur
+    (cur, None)
   }
 
   /** Stage 2a — exact-dup edges + one representative per distinct text.
@@ -474,7 +501,11 @@ object DedupPipeline {
     val a = side.toDF("a", "sh_a", "sig_a")
     val b = side.toDF("b", "sh_b", "sig_b")
     cands.join(a, "a").join(b, "b")
-      .withColumn("jaccard", Measures.jaccard($"sh_a", $"sh_b"))
+      // codegen'd long-set jaccard kernel (optimization round): value-
+      // identical to Measures.jaccard on these containsNull=false
+      // shingle-id arrays, without materialising union arrays per pair
+      .withColumn("jaccard",
+        graft.verify.VectorFunctions.jaccardLongK($"sh_a", $"sh_b"))
       .withColumn("hamming", bit_count($"sig_a".bitwiseXOR($"sig_b")))
       .filter($"jaccard" >= cfg.tau || $"hamming" <= cfg.maxHamming)
       .select($"a", $"b", $"jaccard", $"hamming")
@@ -500,10 +531,21 @@ object DedupPipeline {
     // narrow on these partitions or shuffling slim projections — at 375k
     // docs the previous shape (fat canon window + fat CPU repartition)
     // moved the multi-KB rows twice more; on this host memory bandwidth
-    // is the 32-thread bottleneck, so exchange bytes ARE wall time
-    val extracted0 = shared(store.stage("extract") {
-      extract(pages.repartition(
-        pages.sparkSession.sparkContext.defaultParallelism), cfg)
+    // is the 32-thread bottleneck, so exchange bytes ARE wall time.
+    // The width is DATA-adaptive (guide §2: partitioning must scale with
+    // input, not with a session constant): capped by the input's own
+    // partition count — scan partitioning already tracks bytes
+    // (maxPartitionBytes for files, data-sized slices for the synthetic
+    // generator), so a 300-doc fixture stops fanning out to 32
+    // near-empty partitions that every downstream narrow job then pays
+    // scheduling for (measured: the fixture pipeline is job-floor-bound),
+    // while the 375k-doc bench corpus (33 input partitions) and any
+    // at-scale input keep the full session width.
+    val width = math.min(
+      pages.sparkSession.sparkContext.defaultParallelism,
+      math.max(1, pages.rdd.getNumPartitions))
+    val extracted00 = shared(store.stage("extract") {
+      extract(pages.repartition(width), cfg)
         // compute the hashed tf HERE and cache it instead of the raw
         // token array: downstream only ever reads tf (signatures,
         // stats), norm (substring pass), text_hash (exact dedup) and
@@ -517,18 +559,29 @@ object DedupPipeline {
     // frame is returned unchanged when (as almost always) no 64-bit id
     // collision exists, and colliding docs are deterministically
     // re-id'd otherwise — CC merges clusters on doc_id, so an
-    // undetected collision would silently fuse unrelated documents
-    val extracted = resolveIdCollisions(extracted0, cfg)
+    // undetected collision would silently fuse unrelated documents.
+    // The SAME job now returns the distinct-id count: every id set the
+    // guarded joins below broadcast (dup ids, candidate-member ids) is
+    // a set of doc_ids, so nIds bounds them all — the separate
+    // exact-edge and candidate count jobs are gone (optimization round;
+    // a hint is still only attached when the PROVEN bound fits
+    // broadcastIdLimit, so the at-scale no-unguarded-broadcast invariant
+    // is unchanged — the bound is conservative: a 10^12-doc corpus
+    // falls back to planner-chosen shuffle joins exactly as before).
+    val (extracted, nIdsOpt) = resolveIdCollisionsCounted(extracted00, cfg)
+    def broadcastIdSets: Boolean = nIdsOpt match {
+      case Some(n) => n <= cfg.broadcastIdLimit
+      case None    => false // audit disabled: measured below, per join
+    }
     val exactEdges = shared(store.stage("exact_edges", Seq("extract")) {
       exactDupEdges(extracted)
     })
-    // broadcast guard: measured dup count, one cheap job over the slim
-    // persisted edge frame (16 B/dup) that also pre-materialises it for
-    // its two later consumers (reps anti-join build, final edge union);
-    // on the resume path this is a parquet metadata-only count
-    val nDups = exactEdges.count()
+    // audit-disabled fallback: measure the dup count (one job over the
+    // slim persisted edge frame; parquet metadata-only on resume)
     val reps = shared(store.stage("reps", Seq("extract")) {
-      exactDupReps(extracted, exactEdges, nDups <= cfg.broadcastIdLimit)
+      val bc = nIdsOpt.map(_ <= cfg.broadcastIdLimit).getOrElse(
+        exactEdges.count() <= cfg.broadcastIdLimit)
+      exactDupReps(extracted, exactEdges, bc)
     })
     // slim to what downstream stages read: banding needs the signatures,
     // verify needs shingles — carrying text/norm/url through the CPU
@@ -545,12 +598,14 @@ object DedupPipeline {
     val cands = shared(store.stage("candidates", Seq("signatures")) {
       candidates(sigs, cfg)
     })
-    // member ids ≤ 2·pairs; the count doubles as the cache materialiser
-    // for the three reads below (resume path: parquet metadata count)
-    val nCands = cands.count()
+    // candidate-member ids are doc_ids, so nIds bounds them: the
+    // separate pair-count job is gone; the first consumer (the member
+    // broadcast build / semi-join) materialises the cands cache instead.
+    // Audit-disabled fallback: one measured count, as before.
     val verified = store.stage("verified", Seq("candidates", "signatures")) {
-      val jaccardVerified =
-        verifyPairs(cands, sigs, cfg, 2 * nCands <= cfg.broadcastIdLimit)
+      val bc = nIdsOpt.map(_ <= cfg.broadcastIdLimit).getOrElse(
+        2 * cands.count() <= cfg.broadcastIdLimit)
+      val jaccardVerified = verifyPairs(cands, sigs, cfg, bc)
       if (cfg.enableSimhashBands)
         jaccardVerified.select($"a", $"b")
           .union(simhashEdges(sigs, cfg).select($"a", $"b"))
@@ -560,7 +615,9 @@ object DedupPipeline {
       if (cfg.enableSubstr)
         store.stage("substr_edges", Seq("reps")) {
           SuffixArrayStage.substringEdges(reps, "doc_id", "norm",
-            cfg.substrMinRun, broadcastIdLimit = cfg.broadcastIdLimit)
+            cfg.substrMinRun, broadcastIdLimit = cfg.broadcastIdLimit,
+            broadcastMembers = if (nIdsOpt.isDefined) Some(broadcastIdSets)
+                               else None)
         }
       else pages.sparkSession.emptyDataset[(Long, Long)].toDF("a", "b")
     val edgesAll = exactEdges.select("a", "b")

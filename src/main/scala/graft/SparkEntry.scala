@@ -201,8 +201,14 @@ object SparkEntry {
     }),
 
     // ---- shingling / n-gram Jaccard near-dup (SURVEY P4, D10) ----
+    // codegen'd shingle-count kernel (optimization round): byte-
+    // identical windows/distinct/fallback semantics to shingleStrs —
+    // the Column form dropped into interpreted higher-order eval per
+    // window (ShingleKernelsSpec A/B asserts equality)
     "q_shingle_count" -> ((s, dir) => docs(s, dir).select(
-      col("doc_id"), size(shingleStrs(toks)).as("n_shingles"))),
+      col("doc_id"),
+      graft.hash.ShingleFunctions.stringShingleCount(toks, 5)
+        .as("n_shingles"))),
 
     "q_jaccard_near" -> ((s, dir) => {
       // shingles are hashed to 60-bit ids (md5 prefix — SQL-portable,
@@ -214,9 +220,15 @@ object SparkEntry {
       // (a_id vs b_id), so Catalyst cannot reuse one exchange — without
       // the cache the window-slide shingling (the query's real cost)
       // runs twice. Measured 12.3 s → ~4 s at sf0.1/local[32].
+      // both halves are codegen'd kernels since the optimization round:
+      // string_shingles is byte-identical to the shingleStrs Column form
+      // and md5_prefix60 is numerically identical to
+      // conv(substring(md5(x),1,15),16,10).cast(long) — one digest call
+      // per shingle, no hex/decimal string round-trip, no interpreted
+      // per-element transform (ShingleKernelsSpec A/B)
       val sh = docs(s, dir).select(col("doc_id"),
-        transform(shingleStrs(toks),
-          x => conv(substring(md5(x), 1, 15), 16, 10).cast("long")).as("sh"))
+        graft.hash.ShingleFunctions.md5Prefix60(
+          graft.hash.ShingleFunctions.stringShingles(toks, 5)).as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // equi-join on generated offsets (scalable window pairing — no
       // nested-loop range join). The offsets are exploded over BARE IDS
@@ -229,7 +241,8 @@ object SparkEntry {
       pairs
         .join(sh.toDF("a_id", "sha"), "a_id")
         .join(sh.toDF("b_id", "shb"), "b_id")
-        .withColumn("jac", round(Measures.jaccard(col("sha"), col("shb")), 6))
+        .withColumn("jac", round(
+          graft.verify.VectorFunctions.jaccardLongK(col("sha"), col("shb")), 6))
         .filter(col("jac") >= 0.5)
         .select(col("a_id"), col("b_id"), col("jac"))
     }),
@@ -318,8 +331,13 @@ object SparkEntry {
 
     "q_simhash" -> ((s, dir) => {
       val cfg = DedupConfig()
-      val (_, reps) = DedupPipeline.exactDedup(
-        DedupPipeline.extract(fixturePages(s), cfg))
+      // direct edges+reps instead of the counting exactDedup()
+      // convenience (optimization round): the 6-doc fixture trivially
+      // fits the broadcast limit, so the measured-count job was pure
+      // serial floor; results identical (broadcast vs shuffle anti-join)
+      val ext = DedupPipeline.extract(fixturePages(s), cfg)
+      val reps = DedupPipeline.exactDupReps(ext,
+        DedupPipeline.exactDupEdges(ext), broadcastDups = true)
       DedupPipeline.signatures(reps, cfg).select(col("url"), col("simhash"))
     }),
 
@@ -361,7 +379,10 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (pages, truth) = syntheticTruth(s)
       val ext = DedupPipeline.extract(pages, cfg)
-      val (_, reps) = DedupPipeline.exactDedup(ext)
+      // fixture-sized: skip the measured-count job of exactDedup()
+      // (broadcast anti-join is result-identical — see q_simhash note)
+      val reps = DedupPipeline.exactDupReps(ext,
+        DedupPipeline.exactDupEdges(ext), broadcastDups = true)
       val sigs = DedupPipeline.signatures(reps, cfg)
       val cands = DedupPipeline.candidates(sigs, cfg)
         .union(DedupPipeline.simhashEdges(sigs, cfg).select(col("a"), col("b")))
@@ -380,7 +401,8 @@ object SparkEntry {
             // edit degenerated to IDENTICAL extracted text are the
             // exact stage's job (collapsed before LSH ever runs) —
             // both vacuously satisfy the LSH contract
-            Measures.jaccard(col("sha"), col("shb")) < cfg.tau ||
+            graft.verify.VectorFunctions.jaccardLongK(
+              col("sha"), col("shb")) < cfg.tau ||
             col("ha") === col("hb"))
             .as("contract_ok"))
     }),
@@ -389,8 +411,11 @@ object SparkEntry {
       val cfg = DedupConfig()
       val (pages, truth) = syntheticTruth(s)
       val ext = DedupPipeline.extract(pages, cfg)
+      // fixture-sized member set: skip the stage's pair-count job
+      // (broadcast semi-join is result-identical)
       val edges = graft.substr.SuffixArrayStage.substringEdges(
-        ext, "doc_id", "norm", cfg.substrMinRun)
+        ext, "doc_id", "norm", cfg.substrMinRun,
+        broadcastMembers = Some(true))
       val ids = ext.select(col("url"), col("doc_id"))
       truth.filter(col("kind") === "substr")
         .join(ids.toDF("urlA", "ida"), "urlA")

@@ -386,6 +386,7 @@ object HashKernels {
    * (bit b of word b/64).
    */
   def simhash(termIds: Array[Long], weights: Array[Double], bits: Int): Array[Long] = {
+    if (bits == 64) return simhash64Cached(termIds, weights)
     val acc = new Array[Double](bits)
     val twoPi = 2.0 * math.Pi
     var t = 0
@@ -405,6 +406,69 @@ object HashKernels {
           acc(b) += w * (r * math.cos(theta))
           if (b + 1 < bits) acc(b + 1) += w * (r * math.sin(theta))
           b += 2
+        }
+      }
+      t += 1
+    }
+    pack(acc)
+  }
+
+  // ---- per-term Gaussian cache for the 64-bit hot path (optimization
+  // round, guide §1.2 "per-task work") ----
+  // g(t, b) depends ONLY on the term id and the bit index, never on the
+  // document, yet the inline loop re-drew all 64 Box–Muller Gaussians
+  // (2 mix64 + log + sqrt + cos + sin per pair) for every (doc, term)
+  // incidence — ~64 transcendental calls × terms × docs, the dominant
+  // signature-stage CPU (ProfileDedup). The cache computes each term's
+  // 64-vector ONCE and reuses it across documents.
+  // BIT-EXACT: cached g(b) is the exact double the inline code produced
+  // (same counters, same transcendental calls), and `acc(b) += w * g(b)`
+  // multiplies the same operands in the same order — signatures are
+  // unchanged (HashKernelsSpec goldens + SimhashCacheSpec A/B).
+  // Concurrency: fixed-size direct-mapped table shared across task
+  // threads; entries are immutable (final fields → safe publication),
+  // races/collisions merely recompute. 2^15 slots × 536 B ≈ 17 MB,
+  // vocabulary-independent (Zipf head fits; misses cost the old path).
+  private final class GaussRow(val key: Long, val g: Array[Double])
+  private val gaussSlots = 1 << 15
+  private val gaussCache =
+    new java.util.concurrent.atomic.AtomicReferenceArray[GaussRow](gaussSlots)
+
+  private def gauss64(termId: Long): Array[Double] = {
+    val slot = (mix64(termId).toInt & Int.MaxValue) % gaussSlots
+    val e = gaussCache.get(slot)
+    if (e != null && e.key == termId) return e.g
+    val twoPi = 2.0 * math.Pi
+    val g = new Array[Double](64)
+    val seed = mix64(termId ^ 0x51a45ea51a45ea5L)
+    var b = 0
+    var ctr = 0L
+    while (b < 64) {
+      val u1 = (mix64(seed + ctr) >>> 11) * 1.1102230246251565e-16
+      val u2 = (mix64(seed + ctr + 1) >>> 11) * 1.1102230246251565e-16
+      ctr += 2
+      val r = math.sqrt(-2.0 * math.log(u1 + 1.1102230246251565e-16))
+      val theta = twoPi * u2
+      g(b) = r * math.cos(theta)
+      g(b + 1) = r * math.sin(theta)
+      b += 2
+    }
+    gaussCache.set(slot, new GaussRow(termId, g))
+    g
+  }
+
+  private def simhash64Cached(termIds: Array[Long],
+                              weights: Array[Double]): Array[Long] = {
+    val acc = new Array[Double](64)
+    var t = 0
+    while (t < termIds.length) {
+      val w = weights(t)
+      if (w != 0.0) {
+        val g = gauss64(termIds(t))
+        var b = 0
+        while (b < 64) {
+          acc(b) += w * g(b)
+          b += 1
         }
       }
       t += 1

@@ -134,10 +134,20 @@ object Lsh {
     val spark = sigs.sparkSession
     import spark.implicits._
     // totalParts = 1 is the no-seam oracle (single sorted scan) used by
-    // SeamLossSpec to measure the boundary loss directly
+    // SeamLossSpec to measure the boundary loss directly.
+    // Default width is DATA-adaptive (optimization round, guide §2):
+    // input partitions × tables — the input's own partitioning already
+    // tracks data volume (scan splits / the pipeline's width), so a
+    // fixture-sized corpus stops paying a 128-way range sample + 128
+    // near-empty sorted tasks (at the 375k-doc bench scale this is
+    // 32 × 4 = 128, exactly the previous session-width sizing). Fewer
+    // partitions also SHRINK the measured seam loss (≤ width·parts
+    // pairs per rotation), so the boundary contract only tightens.
     val nParts =
       if (totalParts > 0) totalParts
-      else spark.sparkContext.defaultParallelism * tables
+      else math.max(tables, math.min(
+        spark.sparkContext.defaultParallelism,
+        sigs.rdd.getNumPartitions) * tables)
     val rotKeys = array((0 until tables).map { t =>
       val rot = t * (64 / tables)
       val key =

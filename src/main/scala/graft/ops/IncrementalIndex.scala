@@ -695,7 +695,8 @@ class IncrementalIndex(spark: SparkSession, path: String,
     (cands.join(qs, "qid").join(ss, "sid")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .withColumn("jaccard", graft.verify.Measures.jaccard(col("qsh"), col("ssh")))
+      .withColumn("jaccard",
+        graft.verify.VectorFunctions.jaccardLongK(col("qsh"), col("ssh")))
       .filter(col("jaccard") >= cfg.tau)
       .select("query_url", "match_url", "jaccard"), Some(q))
     } catch { case t: Throwable =>

@@ -198,9 +198,7 @@ object Ivf {
         "query_id")
       .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         "neighbor_id")
-      .withColumn("cos", Measures.cosineDense(
-        transform(col("qv"), x => x.cast("double")),
-        transform(col("cv"), x => x.cast("double"))))
+      .withColumn("cos", Measures.cosineDense(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -395,9 +395,7 @@ class IvfIndex(spark: SparkSession, path: String,
     val scored = cands
       .join(q0.filter(Measures.nonZeroNorm(col("qv"))), "query_id")
       .join(latest, "neighbor_id")
-      .withColumn("cos", Measures.cosineDense(
-        transform(col("qv"), x => x.cast("double")),
-        transform(col("cv"), x => x.cast("double"))))
+      .withColumn("cos", Measures.cosineDense(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     (scored.withColumn("rank", row_number().over(w))

@@ -110,11 +110,12 @@ object TrainingDataOps {
       .filter(Measures.nonZeroNorm(col("qv")))
     val c = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
       .filter(Measures.nonZeroNorm(col("cv")))
+    // raw float arrays straight into the codegen'd cosine kernel — the
+    // per-pair interpreted transform(cast) wrapper is gone (the kernel
+    // applies the identical element cast while reading)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Measures.cosineDense(
-        transform(col("qv"), x => x.cast("double")),
-        transform(col("cv"), x => x.cast("double"))))
+      .withColumn("cos", Measures.cosineDense(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -181,9 +182,7 @@ object TrainingDataOps {
     cands
       .join(emb.select(col(idCol).as("a_id"), col(vecCol).as("av")), "a_id")
       .join(emb.select(col(idCol).as("b_id"), col(vecCol).as("bv")), "b_id")
-      .withColumn("cos", Measures.cosineDense(
-        transform(col("av"), x => x.cast("double")),
-        transform(col("bv"), x => x.cast("double"))))
+      .withColumn("cos", Measures.cosineDense(col("av"), col("bv")))
       .filter(col("cos") >= tau)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cos"))
   }
@@ -259,9 +258,7 @@ object TrainingDataOps {
         "query_id")
       .join(emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
         "neighbor_id")
-      .withColumn("cos", Measures.cosineDense(
-        transform($"qv", x => x.cast("double")),
-        transform($"cv", x => x.cast("double"))))
+      .withColumn("cos", Measures.cosineDense($"qv", $"cv"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -282,14 +279,13 @@ object TrainingDataOps {
 
   /** All n-token windows of a single-space-tokenised text, re-joined
     * with single spaces — the literal-string shingles decontamination
-    * joins on. Empty array for docs shorter than n tokens. */
-  def tokenWindows(text: Column, n: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+    * joins on. Empty array for docs shorter than n tokens.
+    * Codegen'd kernel since the optimization round — byte-identical to
+    * the previous `transform(sequence, i => array_join(slice(...)))`
+    * Column form (Round6KernelSpec A/B), which was interpreted per
+    * window (the corpus side explodes ~windows×docs of them). */
+  def tokenWindows(text: Column, n: Int): Column =
+    graft.hash.ShingleFunctions.tokenWindows(split(text, " "), n)
 
   /**
    * Benchmark decontamination: flag every document sharing at least one

@@ -182,10 +182,16 @@ object SuffixArrayStage {
    * @param docs   df with (docId: Long, text: String) — normalised text
    * @param minRun minimum verbatim run length in chars
    */
+  /** @param broadcastMembers Some(b): the CALLER already knows whether
+    *   the candidate-member id set fits the broadcast limit (e.g.
+    *   DedupPipeline.run bounds it by the audited distinct-id count) —
+    *   skips this stage's own pair-count job (optimization round).
+    *   None: measure here, as before. */
   def substringEdges(docs: DataFrame, docIdCol: String, textCol: String,
                      minRun: Int, maxBucket: Int = 64,
                      chainWidth: Int = 3, hotAnchorDf: Int = 1024,
-                     broadcastIdLimit: Long = 16L << 20): DataFrame = {
+                     broadcastIdLimit: Long = 16L << 20,
+                     broadcastMembers: Option[Boolean] = None): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     // the winnow guarantee covers runs >= k + window - 1 and k is
@@ -229,12 +235,15 @@ object SuffixArrayStage {
         chainWidth, hardCap = hotAnchorDf + 1, dropAbove = hotAnchorDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // slim pair set is read three times below (two member-id
-    // projections + the join); the count doubles as the broadcast
-    // guard. The persist (~16 B/pair, id pairs only) stays registered
-    // until the session sweeps caches (SparkEntry.releaseCaches, or
-    // catalog.clearCache for library users) — it cannot be released
-    // here because the returned frame reads it lazily.
-    val nPairs = cands.count()
+    // projections + the join); the persist (~16 B/pair, id pairs only)
+    // stays registered until the session sweeps caches
+    // (SparkEntry.releaseCaches, or catalog.clearCache for library
+    // users) — it cannot be released here because the returned frame
+    // reads it lazily. The broadcast guard comes from the caller when
+    // it already holds a bound (no count job); otherwise measured here
+    // (the count then doubles as the cache materialiser, as before).
+    val bcMembers = broadcastMembers.getOrElse(
+      2 * cands.count() <= broadcastIdLimit)
 
     // only pair members need their text in the verify joins: semi-filter
     // the corpus first (guarded broadcast — the SHARED
@@ -244,7 +253,7 @@ object SuffixArrayStage {
     // document appearing in many pairs made those exchanges skew
     // (measured: 64-task join stages at effective parallelism ~2).
     val texts = graft.DedupPipeline.memberSemiFilter(cands, base,
-      broadcast = 2 * nPairs <= broadcastIdLimit)
+      broadcast = bcMembers)
 
     // exact SA verification per candidate pair. The repartition AFTER
     // the joins is load-bearing: AQE coalesces the join output by bytes

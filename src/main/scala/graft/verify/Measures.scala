@@ -73,17 +73,23 @@ object Measures {
     !isnan(n) && n > 0.0 && n < Double.PositiveInfinity
   }
 
-  /** Cosine similarity of dense double arrays
+  /** Cosine similarity of dense float/double arrays
     * (`comparisons.go:17-29`; NaN when either norm is 0, as reference).
     * The zero-norm NaN is produced EXPLICITLY, not by dividing: under
     * ANSI mode (the Spark 4 default) a bare 0/0 raises
     * DIVIDE_BY_ZERO — one zero vector (a padding row, a failed
     * encoder) would kill the entire top-k/near-dup job instead of
-    * scoring as the reference's undefined-similarity NaN. */
-  def cosineDense(a: Column, b: Column): Column = {
-    val np = l2norm(a) * l2norm(b)
-    when(np === 0.0, lit(Double.NaN)).otherwise(dot(a, b) / np)
-  }
+    * scoring as the reference's undefined-similarity NaN.
+    * Since the optimization round this is the codegen'd
+    * [[VectorKernels.cosineBoxed]] kernel — bit-identical to the
+    * previous `when(np === 0, NaN).otherwise(dot/np)` aggregate-fold
+    * formulation (VectorKernelsSpec A/B), but inside whole-stage
+    * codegen instead of three interpreted higher-order folds per pair
+    * (the dominant ANN-path CPU, guide §4). Accepts float arrays
+    * directly (reads cast element-wise), so callers no longer pay a
+    * per-pair interpreted `transform(_.cast("double"))` either. */
+  def cosineDense(a: Column, b: Column): Column =
+    VectorFunctions.cosineDenseK(a, b)
 
   /** Cosine over sorted sparse entry arrays Struct(term, weight):
     * dot via map lookup on the smaller operand. */
@@ -126,14 +132,15 @@ object Measures {
   /** AngularSimilarity (`comparisons.go:60-62`). */
   def angularSim(a: Column, b: Column): Column = lit(1.0) - angularDist(a, b)
 
-  /** EuclideanDistance (`comparisons.go:97-101`). */
+  /** EuclideanDistance (`comparisons.go:97-101`). Codegen'd kernel,
+    * fold-order-identical to the previous aggregate/zip_with form. */
   def euclidean(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
+    VectorFunctions.euclideanK(a, b)
 
-  /** ManhattanDistance (`comparisons.go:105-109`). */
+  /** ManhattanDistance (`comparisons.go:105-109`). Codegen'd kernel,
+    * fold-order-identical to the previous aggregate/zip_with form. */
   def manhattan(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v)
+    VectorFunctions.manhattanK(a, b)
 
   /** VectorLenSimilarity = sqrt(dot) (`comparisons.go:112-118`). */
   def vectorLenSim(a: Column, b: Column): Column = sqrt(dot(a, b))
