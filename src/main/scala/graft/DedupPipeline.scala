@@ -347,10 +347,21 @@ object DedupPipeline {
     // numFeatures idf rows plus hotShingleCap hot shingles — at the
     // 10^12-doc operating point the df>minDf shingle population is
     // 10^9-10^10 rows, which stays on the executors.
+    // three PRIMITIVE-column branches into ONE aggregation (optimization
+    // round): the previous combined statsEntries kernel materialised an
+    // InternalRow object per entry (~66M tiny allocations per bench
+    // pass, the stats stage's dominant CPU after the exchange). Each
+    // branch explodes a primitive long column (tf.term via
+    // GetArrayStructFields, shingles directly) with the kind as a
+    // CONSTANT — all codegen, zero per-entry objects; the union feeds
+    // the same single (kind, id) hash aggregation, so the stage still
+    // runs one job / one shuffle, and the df multiset is identical.
     val slim = tfd
-      .select(explode(HashFunctions.statsEntries(
-        col("tf"), col("shingles"))).as("e"))
-      .groupBy(col("e.kind").as("kind"), col("e.id").as("id"))
+      .select(lit(0).as("kind"), explode(col("tf.term")).as("id"))
+      .unionByName(tfd.select(lit(0).as("kind"), lit(-1L).as("id")))
+      .unionByName(tfd.select(lit(1).as("kind"),
+        explode(col("shingles")).as("id")))
+      .groupBy(col("kind"), col("id"))
       .agg(count(lit(1)).as("df"))
       .filter(col("kind") === 0 || col("df") > cfg.hotShingleMinDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

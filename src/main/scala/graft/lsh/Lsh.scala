@@ -157,10 +157,33 @@ object Lsh {
           .bitwiseXOR(lit(Long.MinValue)) // unsigned-comparable order
       struct(lit(t).as("rot"), key.as("k"))
     }: _*)
+    // deterministic fixed-bit range buckets instead of
+    // repartitionByRange (optimization round): the range partitioner
+    // ran a SAMPLING pass — a full extra execution of the upstream
+    // explode per call — and its sampled boundaries varied run to run
+    // (RangePartitioner seeds from the RDD id), so the seam edge set
+    // jittered. Bucket = rot ⊕ top log2(nParts/tables) bits of the
+    // unsigned-comparable key: each bucket is a CONTIGUOUS key range
+    // (hash-uniform signatures spread evenly), rows of one bucket land
+    // wholly in one partition, and the within-partition (rot, k) sort
+    // keeps each bucket's rows adjacent — same sorted-neighborhood
+    // semantics, same seam bound shape (≤ width per bucket boundary,
+    // boundaries now fixed bit cuts), zero sampling job, bit-stable
+    // across runs. Cross-bucket adjacencies inside a partition add
+    // only Hamming-VERIFIED pairs (never false edges).
+    val perRotBits = {
+      var b = 0
+      while ((1 << b) < math.max(1, nParts / tables) && b < 20) b += 1
+      b
+    }
+    val bucket =
+      if (perRotBits == 0) $"rot".cast("long")
+      else $"rot".cast("long") * (1L << perRotBits) +
+        shiftrightunsigned($"k", 64 - perRotBits)
     sigs.select(col(docId).cast("long").as("id"), col(sigCol).as("sig"),
         explode(rotKeys).as("rk"))
       .select($"rk.rot".as("rot"), $"rk.k".as("k"), $"id", $"sig")
-      .repartitionByRange(nParts, $"rot", $"k")
+      .repartition(nParts, bucket)
       .sortWithinPartitions($"rot", $"k")
       .select($"rot", $"id", $"sig").as[(Int, Long, Long)]
       .mapPartitions { it =>
@@ -248,17 +271,29 @@ object Lsh {
     import buckets.sparkSession.implicits._
     val skey: Column =
       if (buckets.columns.contains("skey")) col("skey") else col(docId)
-    val grouped = buckets
-      .groupBy($"band", $"key")
-      .agg(graft.hash.HashFunctions.cappedCollect(
-        skey, col(docId), hardCap).as("m"))
-    val kept =
-      if (dropAbove == Int.MaxValue) grouped
-      else grouped.filter($"m.total" <= dropAbove)
-    kept
-      .select(explode(graft.hash.HashFunctions.pairGen(
-        $"m.members", maxBucket, chainWidth)).as("p"))
-      .select($"p.a", $"p.b")
+    // optimization round: repartition by (band, key) + ONE UnsafeRow
+    // partition sort + streaming pair generation ([[PairStream]])
+    // replaces the capped-collect ObjectHashAggregate — whose groups
+    // are overwhelmingly singletons, so it paid an object buffer +
+    // serde round-trip per bucket and fell back to sort-based
+    // aggregation anyway (measured 10 s → ~2 s on the 375k-doc bench
+    // candidate stage). Survivor/cap/drop semantics are IDENTICAL
+    // (PairStream scaladoc + Round6PairStreamSpec A/B): the sort puts
+    // members in (skey, id) order, so "first hardCap seen" IS
+    // CappedCollect's deterministic cap-smallest survivor set.
+    // Null skey/id rows are filtered (CappedCollect ignored them).
+    buckets
+      .select(col("band").cast("int").as("band"),
+        col("key").cast("long").as("key"),
+        skey.cast("long").as("skey"),
+        col(docId).cast("long").as("id"))
+      .where(col("skey").isNotNull && col("id").isNotNull)
+      .repartition(col("band"), col("key"))
+      .sortWithinPartitions("band", "key", "skey", "id")
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions(it =>
+        new PairStream(it, maxBucket, chainWidth, hardCap, dropAbove))
+      .toDF("a", "b")
       .distinct()
   }
 }

@@ -55,12 +55,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(4000))
   }
 
-  test("band-bucket aggregation is partial-aggregated (map-side combine)") {
+  test("band-bucket pairing is one exchange + partition sort + streaming " +
+    "pair generation (r06 shape — no per-bucket object aggregation)") {
     import spark.implicits._
     val df = Seq((1L, 0, 5L), (2L, 0, 5L)).toDF("doc_id", "band", "key")
     val plan = graft.lsh.Lsh.candidatePairs(df, "doc_id", 64, 3)
       .queryExecution.executedPlan.toString
-    // ObjectHashAggregate (collect_list) runs partial + final
-    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+    // the (band,key) repartition + sortWithinPartitions feeding PairStream
+    assert(plan.contains("Sort [band") || plan.contains("Sort [band#"),
+      plan.take(3000))
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(3000))
   }
 }
