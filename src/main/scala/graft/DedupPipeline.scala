@@ -589,11 +589,23 @@ object DedupPipeline {
     })
     // audit-disabled fallback: measure the dup count (one job over the
     // slim persisted edge frame; parquet metadata-only on resume)
-    val reps = shared(store.stage("reps", Seq("extract")) {
-      val bc = nIdsOpt.map(_ <= cfg.broadcastIdLimit).getOrElse(
-        exactEdges.count() <= cfg.broadcastIdLimit)
-      exactDupReps(extracted, exactEdges, bc)
-    })
+    // reps is NOT persisted on the broadcast path (optimization round):
+    // it is ~the whole fat extracted frame again, and caching it
+    // duplicated ~0.6 GB of cache write+read traffic at 375k docs on a
+    // host where memory bandwidth IS the 32-thread wall. Its two
+    // consumers (signatures, substring pass) recompute it as a
+    // map-side anti-join over the CACHED extract against the slim
+    // persisted dup-edge frame — two cheap broadcast builds instead of
+    // a second fat cache. On the at-scale SHUFFLE fallback (dup ids
+    // past broadcastIdLimit) the persist stays: there, recomputation
+    // would repeat a corpus-sized exchange per consumer. (With a
+    // parquet store the stage materialises for resume either way.)
+    val repsBc = nIdsOpt.map(_ <= cfg.broadcastIdLimit).getOrElse(
+      exactEdges.count() <= cfg.broadcastIdLimit)
+    val repsStage = store.stage("reps", Seq("extract")) {
+      exactDupReps(extracted, exactEdges, repsBc)
+    }
+    val reps = if (repsBc) repsStage else shared(repsStage)
     // slim to what downstream stages read: banding needs the signatures,
     // verify needs shingles — carrying text/norm/url through the CPU
     // repartition and the band exchanges would multiply shuffle volume

@@ -39,7 +39,8 @@ class IvfIndex(spark: SparkSession, path: String,
                nCells: Int = 256, nProbe: Int = 8,
                iters: Int = 10, sampleCap: Int = 4096,
                autoRefitGrowth: Double = 0.0,
-               pruneScan: Boolean = true) {
+               pruneScan: Boolean = true,
+               pruneMaxFraction: Double = 0.5) {
   import graft.ckpt.Fs
 
   private val store = new graft.ckpt.BatchStore(spark, s"$path/rows",
@@ -356,10 +357,22 @@ class IvfIndex(spark: SparkSession, path: String,
     // pruning set: distinct probed cells — domain-bounded collect
     val cells = q.select("cell").distinct().collect().map(_.getInt(0))
     val stored0 = store.all()
-    // skip the predicate when the probe set covers every cell: it would
-    // prune nothing, and a multi-hundred-value IN costs measurable
-    // optimizer time (constraint propagation) on every search
-    val stored = (if (pruneScan && cells.length < book.length)
+    // FRACTION-threshold pruning skip (optimization round; r5 verdict
+    // item #3): the serving benchmark measured the pruning predicate
+    // NET-NEGATIVE once the probe set covers a large share of the cell
+    // domain — at nProbe=16 / 64-of-256 cells pruned search cost 4.82 s
+    // vs 3.58 s unpruned (BenchIvf, BASELINE.md): a multi-hundred-value
+    // IN pays optimizer constraint propagation + dynamic-pruning
+    // subquery time per search while skipping little of the scan. The
+    // predicate is now attached only when the probed fraction of the
+    // batch is ≤ pruneMaxFraction (default 0.5: at the measured 25%
+    // crossover row pruning was already ~breakeven and at 6% it cut
+    // 9.4× scan bytes — 0.5 keeps every clearly-winning row pruned and
+    // drops the clearly-losing ones). Results are unchanged either way
+    // (the cell equi-join bounds candidates; the predicate only skips
+    // file reads).
+    val probedFraction = cells.length.toDouble / book.length
+    val stored = (if (pruneScan && probedFraction <= pruneMaxFraction)
         stored0.filter(col("cell").isin(cells.map(Int.box).toSeq: _*))
       else stored0)
       .select(col("cell"), col("id").as("neighbor_id"), col("vec").as("cv"),

@@ -56,6 +56,59 @@ object GoLowerUtil {
   }
 }
 
+object GoTokensUtil {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  /** Single-pass fused tokenizer (optimization round): simple-fold
+    * lowercase + Unicode-letter-run extraction, byte-identical to
+    * `regexp_extract_all(golower(text), "[\p{L}]+", 0)` — the letter
+    * test runs on the LOWERED code point exactly as the regex saw it,
+    * and `Character.isLetter` is the same general-category-L predicate
+    * as `\p{L}`. Avoids materialising the lowered string and the regex
+    * engine scan per document (the extract stage's per-row head).
+    * Equality asserted on the reference fold fixtures and adversarial
+    * Unicode by Round6KernelSpec. */
+  def goTokens(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any](8)
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if (Character.isLetter(lc)) sb.appendCodePoint(lc)
+      else if (sb.length > 0) {
+        out += UTF8String.fromString(sb.toString)
+        sb.setLength(0)
+      }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out += UTF8String.fromString(sb.toString)
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `gotokens(text)` → array<string>: fused golower + `[\p{L}]+` run
+  * extraction (see [[GoTokensUtil.goTokens]]). */
+case class GoTokens(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GoTokensUtil.goTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.GoTokensUtil.goTokens($c)")
+  override protected def withNewChildInternal(c: Expression): GoTokens = copy(child = c)
+  override def prettyName: String = "gotokens"
+}
+
+object GoTokens {
+  def gotokens(c: Column): Column =
+    ColumnBridge.column(GoTokens(ColumnBridge.expression(c)))
+}
+
 /** Catalyst expression wrapper: codegen-friendly static call, stays inside
   * whole-stage codegen (no UDF / no CodegenFallback). */
 case class GoLower(child: Expression) extends UnaryExpression {

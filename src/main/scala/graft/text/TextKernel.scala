@@ -21,9 +21,13 @@ import org.apache.spark.sql.functions._
 object TextKernel {
   import GoLower.golower
 
-  /** Unicode-letter-run tokens of the Go-lowered text. */
-  def tokenize(text: Column): Column =
-    regexp_extract_all(golower(text), lit("[\\p{L}]+"), lit(0))
+  /** Unicode-letter-run tokens of the Go-lowered text. Since the
+    * optimization round this is the fused single-pass [[GoTokens]]
+    * kernel — byte-identical to
+    * `regexp_extract_all(golower(text), "[\p{L}]+", 0)`
+    * (Round6KernelSpec A/B) without the lowered-string materialisation
+    * and regex scan per document. */
+  def tokenize(text: Column): Column = GoTokens.gotokens(text)
 
   /** Order-preserving stop-word removal. The stop set is inlined as an
     * array literal; Catalyst constant-folds `array_contains` probes.

@@ -82,7 +82,13 @@ class IvfSpec extends AnyFunSuite with SparkSpec {
     "batch, same codebook), and prunes the stored scan to probed cells") {
     import spark.implicits._
     val dir = s"${freshDir()}/idx"
-    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 8, nProbe = 2)
+    // pruneMaxFraction = 1.0: this fixture's 20 queries × 2 probes
+    // cover most of the 8-cell domain, which the r06
+    // fraction-threshold skip would (correctly) leave unpruned — the
+    // assertion here is about pruning CAPABILITY, so force it on;
+    // Round6IvfPruneSpec covers the threshold behaviour itself
+    val idx = new graft.ops.IvfIndex(spark, dir, nCells = 8, nProbe = 2,
+      pruneMaxFraction = 1.0)
     val corpus = vecsDf(50)
     idx.put(corpus)
     val queries = vecsDf(10)

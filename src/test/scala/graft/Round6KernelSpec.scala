@@ -168,6 +168,28 @@ class Round6KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fused gotokens kernel equals regexp_extract_all(golower, \\p{L}+) " +
+    "on reference fold fixtures and adversarial Unicode") {
+    import spark.implicits._
+    val texts = SparkSpec.trainSet ++ SparkSpec.testSet ++ Seq(
+      "İstanbul ile ıspanak IJssel",      // Turkish dotted/dotless I
+      "ΣΊΣΥΦΟΣ ΑΘΗΝΑ",                   // final sigma fold
+      "STRAẞE Straße",                   // capital sharp s
+      "mixed42digits and-hyphens_under", // digit/punct boundaries
+      "𝒜𝒷𝒸 math 𝔘𝔫𝔦 letters",        // supplementary-plane letters
+      "   ", "", "ⅣⅥ ①②", "a",
+      "日本語テキストと漢字", "emoji 🙂 inside")
+    val df = texts.toDF("text")
+    val got = df.select(
+      graft.text.GoTokens.gotokens(col("text")).as("k"),
+      regexp_extract_all(graft.text.GoLower.golower(col("text")),
+        lit("[\\p{L}]+"), lit(0)).as("l")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+
   test("simhash 64-bit Gaussian cache is bit-identical to the uncached " +
     "Box-Muller loop (the pre-r06 inline path, reproduced here)") {
     import graft.hash.HashKernels.mix64
