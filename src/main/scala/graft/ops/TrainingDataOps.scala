@@ -33,13 +33,16 @@ object TrainingDataOps {
     * alphabetic char ratio. */
   def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
     val toks = split(text, " ")
+    // length-sum + stop-count via codegen'd TokenStats kernels
+    // (optimization round): value-identical to the previous interpreted
+    // aggregate/filter folds — the sum is an integer-valued double and
+    // the count an int (Round6KernelSpec A/B)
     df.withColumn("n_tokens", size(toks))
       .withColumn("mean_tok_len",
-        aggregate(toks, lit(0.0), (acc, t) => acc + length(t))
-          / size(toks))
+        graft.text.TokenStats.sumStrLens(toks) / size(toks))
       .withColumn("stop_ratio",
-        size(filter(toks, t => array_contains(
-          lit(qualityStopWords.toArray), t))).cast("double") / size(toks))
+        graft.text.TokenStats.countIn(toks, qualityStopWords.toArray)
+          .cast("double") / size(toks))
       .withColumn("alpha_ratio",
         // empty text divides by length 0 — ANSI raises DIVIDE_BY_ZERO
         // even for doubles, so one failed-extraction row would kill
@@ -66,9 +69,11 @@ object TrainingDataOps {
     * Ties broken by language-code sort order. */
   def langId(text: Column): Column = {
     val toks = split(text, " ")
+    // marker counts via the codegen'd count_in kernel (int-identical to
+    // the interpreted size(filter(array_contains)) form — see
+    // qualityMetrics note); the argmax CASE chain is unchanged
     val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      (lang, size(filter(toks,
-        t => array_contains(lit(markers.toArray), t))))
+      (lang, graft.text.TokenStats.countIn(toks, markers.toArray))
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("unk"): Column) { case ((lang, s), els) =>

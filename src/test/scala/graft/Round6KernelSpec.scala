@@ -168,6 +168,29 @@ class Round6KernelSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("TokenStats kernels equal the legacy aggregate/filter folds " +
+    "(length sum, stop/marker membership counts)") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox and a lazy dog", "der hund ist nicht da",
+      "", "  double  spaces ", "onetoken",
+      "el agua es de los rios y una mas", "the the the the")
+    val df = texts.toDF("text").select(split(col("text"), " ").as("t"))
+    val stop = graft.ops.TrainingDataOps.qualityStopWords.toArray
+    val got = df.select(
+      graft.text.TokenStats.sumStrLens($"t").as("ks"),
+      aggregate($"t", lit(0.0), (acc, x) => acc + length(x)).as("ls"),
+      graft.text.TokenStats.countIn($"t", stop).as("kc"),
+      size(filter($"t", x => array_contains(lit(stop), x))).as("lc"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} vs ${r.getDouble(1)}")
+      assert(r.getInt(2) == r.getInt(3))
+    }
+  }
+
   test("fused gotokens kernel equals regexp_extract_all(golower, \\p{L}+) " +
     "on reference fold fixtures and adversarial Unicode") {
     import spark.implicits._
