@@ -300,8 +300,13 @@ object SparkEntry {
         count(lit(1)).as("n_rows"),
         countDistinct(col("l_orderkey")).as("n_orders"))),
 
+    // shuffled-hash hint (optimization round, guide §3.1): the planner
+    // defaulted to sort-merge — two full sorts for a join whose build
+    // side is a few thousand rows per partition at ANY scale (orders :
+    // lineitem is ~1:4; AQE skew-join stays on as the backstop).
+    // Results identical, strategy only.
     "q_join_pri" -> ((s, dir) => lineitem(s, dir)
-      .join(orders(s, dir),
+      .join(orders(s, dir).hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))),

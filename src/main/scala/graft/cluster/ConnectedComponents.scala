@@ -152,13 +152,18 @@ object ConnectedComponents {
   }
 
   /** Single-task union-find (size-adaptive fast path). Runs as an
-    * executor task via mapPartitions over a 1-partition repartition —
-    * the driver never materialises the graph. */
+    * executor task via mapPartitions over a 1-partition coalesce —
+    * the driver never materialises the graph. coalesce, not
+    * repartition (optimization round): the input is the caller's
+    * already-materialised edge checkpoint, so a narrow concatenation
+    * feeds the single task directly instead of paying a full exchange
+    * (+ its AQE stage job) first; union-find is edge-order-independent
+    * (comp = min reachable id whatever the arrival order). */
   private def smallGraph(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     edges.select($"a".cast("long"), $"b".cast("long")).as[(Long, Long)]
-      .repartition(1)
+      .coalesce(1)
       .mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()
         def find(x0: Long): Long = {
