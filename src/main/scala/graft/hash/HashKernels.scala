@@ -135,11 +135,17 @@ object HashKernels {
    * FilterNotIn keeps full sets), or every empty doc lands in one
    * mega-bucket, exactly the skew the capped pairing exists to bound.
    */
+  // per-permutation seeds are constants — precomputed once (they were
+  // re-derived per document; r06 micro-cleanup, bit-identical)
+  private val minhashSeeds: Array[Long] =
+    Array.tabulate(256)(i => mix64(0x5eed0000L + i))
+
   def minhash(shingles: Array[Long], k: Int): Array[Long] = {
     val out = new Array[Long](k)
     var i = 0
     while (i < k) {
-      val seed = mix64(0x5eed0000L + i)
+      val seed = if (i < minhashSeeds.length) minhashSeeds(i)
+                 else mix64(0x5eed0000L + i)
       var mn = Long.MaxValue
       var j = 0
       while (j < shingles.length) {

@@ -146,21 +146,37 @@ object SuffixArrayStage {
       hs
     }
     val ha = grams(a)
-    val index = new java.util.HashMap[java.lang.Long, java.lang.Integer](ha.length * 2)
+    // open-addressed primitive hash table (optimization round): the
+    // boxed HashMap<Long,Integer> here allocated ~|a| boxed longs PER
+    // CANDIDATE PAIR (~10^8 boxed objects per bench pass at 185k
+    // pairs) — pure GC churn for a probe-only index. Same semantics:
+    // first position per hash kept, collisions resolved at confirm
+    // time. `used` flags carry occupancy so any 64-bit key value is
+    // valid (no sentinel).
+    var capBits = 1
+    while ((1 << capBits) < ha.length * 2) capBits += 1
+    val cap = 1 << capBits
+    val mask = cap - 1
+    val keys = new Array[Long](cap)
+    val pos = new Array[Int](cap)
+    val used = new Array[Boolean](cap)
     i = 0
     while (i < ha.length) {
-      // keep the first position per hash; collisions on equal hashes
-      // with different text are resolved at confirm time
-      index.putIfAbsent(ha(i), i)
+      val h = ha(i)
+      var s = (h ^ (h >>> 32)).toInt & mask
+      while (used(s) && keys(s) != h) s = (s + 1) & mask
+      if (!used(s)) { used(s) = true; keys(s) = h; pos(s) = i }
       i += 1
     }
     val hb = grams(b)
     var collision = false
     i = 0
     while (i < hb.length) {
-      val p = index.get(hb(i))
-      if (p != null) {
-        if (a.regionMatches(p.intValue(), b, i, minRun)) return true
+      val h = hb(i)
+      var s = (h ^ (h >>> 32)).toInt & mask
+      while (used(s) && keys(s) != h) s = (s + 1) & mask
+      if (used(s)) {
+        if (a.regionMatches(pos(s), b, i, minRun)) return true
         collision = true // equal hash, different text: 64-bit collision
       }
       i += 1
