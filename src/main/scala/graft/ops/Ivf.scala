@@ -48,15 +48,20 @@ object Ivf {
                    nCells: Int, iters: Int = 10, sampleCap: Int = 4096,
                    seed: Long = 42L): Array[Array[Double]] = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    // The element cast rides AFTER the limit (driver-side): casting is
+    // exact float→double widening, and the old in-plan
+    // transform(cast) was an interpreted ArrayTransform applied to
+    // EVERY corpus vector when only sampleCap rows survive the
+    // TakeOrdered — project the heavy conversion past the limit
+    // (guide §2.3: compute on the survivors, not the corpus).
     val sample: Array[Array[Double]] = embeddings
-      .select(col(idCol).cast("long").as("__id"),
-        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
       .withColumn("__h", xxhash64(col("__id"), lit(seed)))
       .orderBy(col("__h"), col("__id"))
       .limit(sampleCap)
       .select("__v")
       .collect()
-      .map(_.getSeq[Double](0).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
     require(sample.length >= nCells,
       s"IVF codebook needs at least nCells=$nCells sample vectors, " +
         s"got ${sample.length}")
@@ -189,10 +194,16 @@ object Ivf {
       element_at(probe(col(vecCol), cents, 1), 1).as("cell"))
     val q = qrs.select(col(idCol).as("query_id"),
       explode(probe(col(vecCol), cents, nProbe)).as("cell"))
-    // id-only candidates through the cell join; vectors re-join once
+    // id-only candidates through the cell join; vectors re-join once.
+    // No distinct (optimization round): each corpus row carries exactly
+    // ONE assignment cell and probeKernel returns DISTINCT cells per
+    // query, so a (query_id, neighbor_id) pair can surface through at
+    // most one cell — the pair set is unique by construction and the
+    // dedup exchange was a full no-op pass over the candidates.
+    // (lshTopK keeps its distinct: a pair may surface in many bands.)
     val cands = q.join(c, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id").distinct()
+      .select("query_id", "neighbor_id")
     val scored = cands
       .join(qrs.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
         "query_id")
